@@ -1,0 +1,252 @@
+"""Flow feature transformer: swin-window self/cross attention + flow propagation.
+
+flax re-design of the reference flow transformer
+(``model/EMIP_short/motion/gmflow/transformer.py``):
+
+* ``FeatureTransformer`` — 6 alternating {self-attn, cross-attn+FFN} blocks
+  over the pair's features, shifted windows on odd blocks (:404-482).
+  Features stay NHWC throughout (no [B, L, C] flattening round-trips); the
+  two frames ride the batch axis so one kernel serves both directions.
+* ``FeatureFlowAttention`` — full-resolution self-attention where the values
+  are the flow field (:485-568), plus the local-window variant.
+
+The shifted-window additive mask is a compile-time constant
+(:mod:`emip_tpu.ops.window`). Attention math accumulates in fp32.
+
+Each ``TransformerLayer`` also declares the reference's dead adaptor FCs
+(transformer.py:148-151) at init time only, for checkpoint-format parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from emip_tpu.ops.window import shifted_window_mask, window_merge, window_split
+
+Dtype = Any
+
+
+def _attention(q, k, v, mask=None):
+    """Single-head scaled-dot attention over flattened windows.
+
+    q, k, v: [B, L, C]; optional additive mask [B, L, L] or broadcastable.
+    """
+    c = q.shape[-1]
+    scores = jnp.einsum(
+        "blc,bmc->blm", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) / (c**0.5)
+    if mask is not None:
+        scores = scores + mask
+    probs = nn.softmax(scores, axis=-1)
+    out = jnp.einsum("blm,bmc->blc", probs, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_splits: int,
+    with_shift: bool,
+) -> jnp.ndarray:
+    """Swin-style (optionally shifted) window attention on NHWC tensors.
+
+    (reference: transformer.py:46-105)
+    """
+    b, h, w, c = q.shape
+    if num_splits <= 1:
+        out = _attention(
+            q.reshape(b, h * w, c), k.reshape(b, h * w, c), v.reshape(b, h * w, c)
+        )
+        return out.reshape(b, h, w, c)
+
+    k_sp = num_splits
+    win_h, win_w = h // k_sp, w // k_sp
+    mask = None
+    if with_shift:
+        sh, sw = win_h // 2, win_w // 2
+        q = jnp.roll(q, shift=(-sh, -sw), axis=(1, 2))
+        k = jnp.roll(k, shift=(-sh, -sw), axis=(1, 2))
+        v = jnp.roll(v, shift=(-sh, -sw), axis=(1, 2))
+        # [K*K, win, win] tiled over batch: windows are ordered (b, ky, kx)
+        m = shifted_window_mask(h, w, k_sp)
+        mask = jnp.tile(m, (b, 1, 1))
+
+    qw = window_split(q, k_sp).reshape(-1, win_h * win_w, c)
+    kw = window_split(k, k_sp).reshape(-1, win_h * win_w, c)
+    vw = window_split(v, k_sp).reshape(-1, win_h * win_w, c)
+
+    out = _attention(qw, kw, vw, mask)
+    out = window_merge(out.reshape(-1, win_h, win_w, c), k_sp)
+
+    if with_shift:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out
+
+
+class TransformerLayer(nn.Module):
+    """One attention layer: Q from ``source``, K/V from ``target``.
+
+    no_ffn=True for self-attention layers; cross-attention layers append a
+    [source, message] MLP. (reference: transformer.py:108-211)
+    """
+
+    d_model: int
+    no_ffn: bool = False
+    ffn_dim_expansion: int = 4
+    with_shift: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, attn_num_splits: int = 1):
+        c = self.d_model
+        dense = lambda name: nn.Dense(c, use_bias=False, dtype=self.dtype, name=name)
+        q = dense("q_proj")(source)
+        k = dense("k_proj")(target)
+        v = dense("v_proj")(target)
+
+        message = window_attention(q, k, v, attn_num_splits, self.with_shift)
+        message = dense("merge")(message)
+        message = nn.LayerNorm(dtype=jnp.float32, name="norm1")(message)
+
+        if not self.no_ffn:
+            cat = jnp.concatenate([source, message], axis=-1)
+            y = nn.Dense(2 * c * self.ffn_dim_expansion, use_bias=False,
+                         dtype=self.dtype, name="mlp0")(cat)
+            y = nn.gelu(y, approximate=False)
+            y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="mlp2")(y)
+            message = nn.LayerNorm(dtype=jnp.float32, name="norm2")(y)
+
+        # dead-but-checkpointed adaptor FCs (reference transformer.py:148-151)
+        if self.is_initializing():
+            dummy = jnp.zeros((1, c), self.dtype)
+            hid = nn.Dense(c // 4, dtype=self.dtype, name="adaptor_fc1")(dummy)
+            nn.Dense(c, dtype=self.dtype, name="adaptor_fc2")(hid)
+
+        return source + message
+
+
+class TransformerBlock(nn.Module):
+    """Self-attention (no FFN) + cross-attention (with FFN)."""
+
+    d_model: int
+    ffn_dim_expansion: int = 4
+    with_shift: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, source, target, attn_num_splits: int = 1):
+        source = TransformerLayer(
+            self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
+            with_shift=self.with_shift, dtype=self.dtype, name="self_attn",
+        )(source, source, attn_num_splits)
+        source = TransformerLayer(
+            self.d_model, no_ffn=False, ffn_dim_expansion=self.ffn_dim_expansion,
+            with_shift=self.with_shift, dtype=self.dtype, name="cross_attn_ffn",
+        )(source, target, attn_num_splits)
+        return source
+
+
+class FeatureTransformer(nn.Module):
+    """Alternating self/cross swin attention over the frame pair.
+
+    Inputs are NHWC [B, H, W, C] per frame; both directions are computed in
+    one pass by stacking (f0, f1) and (f1, f0) on the batch axis.
+    (reference: transformer.py:404-482)
+    """
+
+    num_layers: int = 6
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature0, feature1, attn_num_splits: int = 1):
+        b = feature0.shape[0]
+        concat0 = jnp.concatenate([feature0, feature1], axis=0)  # [2B,H,W,C]
+        concat1 = jnp.concatenate([feature1, feature0], axis=0)
+
+        for i in range(self.num_layers):
+            concat0 = TransformerBlock(
+                self.d_model,
+                ffn_dim_expansion=self.ffn_dim_expansion,
+                with_shift=(i % 2 == 1),
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(concat0, concat1, attn_num_splits)
+            # refresh the cross stream: swap the two halves
+            concat1 = jnp.concatenate(
+                [concat0[b:], concat0[:b]], axis=0
+            )
+
+        return concat0[:b], concat0[b:]
+
+
+class FeatureFlowAttention(nn.Module):
+    """Flow propagation: pixel self-attention with flow as values.
+
+    Keeps the reference's quirk of deriving K from the already-Q-projected
+    features (transformer.py:517-524) so converted weights reproduce outputs.
+    """
+
+    in_channels: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        feature0: jnp.ndarray,
+        flow: jnp.ndarray,
+        local_window_attn: bool = False,
+        local_window_radius: int = 1,
+    ):
+        b, h, w, c = feature0.shape
+        q = nn.Dense(c, dtype=self.dtype, name="q_proj")(feature0)
+        k = nn.Dense(c, dtype=self.dtype, name="k_proj")(q)
+
+        if local_window_attn:
+            return self._local(q, k, flow, local_window_radius)
+
+        scores = jnp.einsum(
+            "bhwc,bpqc->bhwpq",
+            q.astype(jnp.float32),
+            k.astype(jnp.float32),
+        ).reshape(b, h * w, h * w) / (c**0.5)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "blm,bmc->blc", probs, flow.reshape(b, h * w, -1).astype(jnp.float32)
+        )
+        return out.reshape(b, h, w, flow.shape[-1]).astype(flow.dtype)
+
+    def _local(self, q, k, flow, radius: int):
+        """Local-window propagation (reference: transformer.py:535-568)."""
+        b, h, w, c = q.shape
+        ksz = 2 * radius + 1
+        pad = [(0, 0), (radius, radius), (radius, radius), (0, 0)]
+        k_pad = jnp.pad(k, pad)
+        f_pad = jnp.pad(flow, pad)
+        k_win = jnp.stack(
+            [
+                k_pad[:, dy : dy + h, dx : dx + w, :]
+                for dy in range(ksz)
+                for dx in range(ksz)
+            ],
+            axis=3,
+        )  # [B, H, W, K2, C]
+        f_win = jnp.stack(
+            [
+                f_pad[:, dy : dy + h, dx : dx + w, :]
+                for dy in range(ksz)
+                for dx in range(ksz)
+            ],
+            axis=3,
+        )
+        scores = jnp.einsum(
+            "bhwc,bhwkc->bhwk", q.astype(jnp.float32), k_win.astype(jnp.float32)
+        ) / (c**0.5)
+        probs = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhwk,bhwkc->bhwc", probs, f_win.astype(jnp.float32))
+        return out.astype(flow.dtype)

@@ -1,0 +1,294 @@
+"""PVTv2 pyramid vision transformer, TPU-first.
+
+Re-design of the segmentation-stream encoder (reference: ``lib/pvt_v2.py``):
+4 stages of overlapping patch embedding + spatial-reduction attention blocks.
+b5 = dims [64,128,320,512], heads [1,2,5,8], depths [3,6,40,3], sr [8,4,2,1]
+(lib/pvt_v2.py:396-401). Stage 3 (40 blocks @ H/16, 320-d) dominates compute.
+
+TPU-first choices:
+  * blocks of a stage are identical modules -> ``nn.scan`` stacks their
+    params on a leading depth axis: one traced block per stage instead of 52,
+    cutting trace/compile time by ~an order of magnitude;
+  * optional ``nn.remat`` per block trades FLOPs for HBM during training;
+  * features stay NHWC; attention flattens spatially only inside the block;
+  * the spatial-reduction K/V path is a strided conv (maps to MXU), and the
+    'linear' variant's AdaptiveAvgPool2d(7) is an area-resize matmul.
+
+Checkpoint note: scanned params are [depth, ...]-stacked; the torch->JAX
+converter stacks the reference's per-block tensors accordingly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from emip_tpu.ops.image import resize_area
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class PVTv2Config:
+    embed_dims: tuple[int, ...] = (64, 128, 320, 512)
+    num_heads: tuple[int, ...] = (1, 2, 5, 8)
+    mlp_ratios: tuple[int, ...] = (4, 4, 4, 4)
+    depths: tuple[int, ...] = (3, 6, 40, 3)
+    sr_ratios: tuple[int, ...] = (8, 4, 2, 1)
+    qkv_bias: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.1
+    linear: bool = False
+    remat: bool = True
+
+
+# named variants mirroring the reference zoo (lib/pvt_v2.py:341-401)
+PVT_V2_VARIANTS = {
+    "pvt_v2_b0": PVTv2Config((32, 64, 160, 256), (1, 2, 5, 8), (8, 8, 4, 4),
+                             (2, 2, 2, 2), (8, 4, 2, 1)),
+    "pvt_v2_b1": PVTv2Config((64, 128, 320, 512), (1, 2, 5, 8), (8, 8, 4, 4),
+                             (2, 2, 2, 2), (8, 4, 2, 1)),
+    "pvt_v2_b2": PVTv2Config((64, 128, 320, 512), (1, 2, 5, 8), (8, 8, 4, 4),
+                             (3, 4, 6, 3), (8, 4, 2, 1)),
+    "pvt_v2_b2_li": PVTv2Config((64, 128, 320, 512), (1, 2, 5, 8), (8, 8, 4, 4),
+                                (3, 4, 6, 3), (8, 4, 2, 1), linear=True),
+    "pvt_v2_b3": PVTv2Config((64, 128, 320, 512), (1, 2, 5, 8), (8, 8, 4, 4),
+                             (3, 4, 18, 3), (8, 4, 2, 1)),
+    "pvt_v2_b4": PVTv2Config((64, 128, 320, 512), (1, 2, 5, 8), (8, 8, 4, 4),
+                             (3, 8, 27, 3), (8, 4, 2, 1)),
+    "pvt_v2_b5": PVTv2Config((64, 128, 320, 512), (1, 2, 5, 8), (4, 4, 4, 4),
+                             (3, 6, 40, 3), (8, 4, 2, 1)),
+}
+
+_LN = dict(epsilon=1e-6, dtype=jnp.float32)
+_trunc = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _drop_path(x, rate, deterministic, rng):
+    """Per-sample stochastic depth (timm convention: scale by 1/keep)."""
+    if deterministic:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax_random_uniform(rng, shape))
+    return x / keep * mask
+
+
+def jax_random_uniform(rng, shape):
+    import jax
+
+    return jax.random.uniform(rng, shape)
+
+
+class SRAttention(nn.Module):
+    """Spatial-reduction multi-head attention on NHWC features."""
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    qkv_bias: bool = True
+    linear: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, h, w, c = x.shape
+        heads = self.num_heads
+        ch = c // heads
+
+        q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=_trunc,
+                     dtype=self.dtype, name="q")(x)
+        q = q.reshape(b, h * w, heads, ch)
+
+        if not self.linear:
+            if self.sr_ratio > 1:
+                kv_in = nn.Conv(
+                    c, (self.sr_ratio, self.sr_ratio),
+                    strides=(self.sr_ratio, self.sr_ratio),
+                    dtype=self.dtype, name="sr",
+                )(x)
+                kv_in = nn.LayerNorm(**_LN, name="norm")(kv_in)
+            else:
+                kv_in = x
+        else:
+            pooled = resize_area(x, (7, 7))
+            kv_in = nn.Conv(c, (1, 1), dtype=self.dtype, name="sr")(pooled)
+            kv_in = nn.LayerNorm(**_LN, name="norm")(kv_in)
+            kv_in = nn.gelu(kv_in, approximate=False)
+
+        m = kv_in.shape[1] * kv_in.shape[2]
+        kv = nn.Dense(2 * c, use_bias=self.qkv_bias, kernel_init=_trunc,
+                      dtype=self.dtype, name="kv")(kv_in)
+        kv = kv.reshape(b, m, 2, heads, ch)
+        k, v = kv[:, :, 0], kv[:, :, 1]
+
+        scale = ch**-0.5
+        attn = jnp.einsum(
+            "bnhc,bmhc->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
+        ) * scale
+        attn = nn.softmax(attn, axis=-1)
+        if self.attn_drop > 0:
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhc->bnhc", attn, v.astype(jnp.float32))
+        out = out.reshape(b, h, w, c).astype(x.dtype)
+        out = nn.Dense(c, kernel_init=_trunc, dtype=self.dtype, name="proj")(out)
+        if self.proj_drop > 0:
+            out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class MixFFN(nn.Module):
+    """Dense -> 3x3 depthwise conv -> GELU -> Dense (reference Mlp+DWConv)."""
+
+    dim: int
+    hidden: int
+    linear: bool = False
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        y = nn.Dense(self.hidden, kernel_init=_trunc, dtype=self.dtype,
+                     name="fc1")(x)
+        if self.linear:
+            y = nn.relu(y)
+        y = nn.Conv(self.hidden, (3, 3), padding=1,
+                    feature_group_count=self.hidden, dtype=self.dtype,
+                    name="dwconv")(y)
+        y = nn.gelu(y, approximate=False)
+        if self.drop > 0:
+            y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        y = nn.Dense(self.dim, kernel_init=_trunc, dtype=self.dtype,
+                     name="fc2")(y)
+        if self.drop > 0:
+            y = nn.Dropout(self.drop)(y, deterministic=deterministic)
+        return y
+
+
+class PVTBlock(nn.Module):
+    """Pre-norm SR-attention + MixFFN block with stochastic depth.
+
+    Written in scan form: ``__call__(x, drop_path_rate) -> (x, ())`` so a
+    whole stage is one ``nn.scan`` over the depth axis.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: int
+    sr_ratio: int
+    qkv_bias: bool = True
+    linear: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, drop_path_rate, deterministic: bool = True):
+        attn_out = SRAttention(
+            self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
+            self.linear, self.attn_drop, self.drop, dtype=self.dtype,
+            name="attn",
+        )(nn.LayerNorm(**_LN, name="norm1")(x), deterministic)
+        if not deterministic:
+            attn_out = _drop_path(
+                attn_out, drop_path_rate, deterministic,
+                self.make_rng("droppath"),
+            )
+        x = x + attn_out
+
+        mlp_out = MixFFN(
+            self.dim, int(self.dim * self.mlp_ratio), self.linear, self.drop,
+            dtype=self.dtype, name="mlp",
+        )(nn.LayerNorm(**_LN, name="norm2")(x), deterministic)
+        if not deterministic:
+            mlp_out = _drop_path(
+                mlp_out, drop_path_rate, deterministic,
+                self.make_rng("droppath"),
+            )
+        x = x + mlp_out
+        return x, ()
+
+
+class OverlapPatchEmbed(nn.Module):
+    """Strided overlapping conv patch embedding + LayerNorm."""
+
+    patch_size: int
+    stride: int
+    embed_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.stride, self.stride),
+            padding=self.patch_size // 2,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return nn.LayerNorm(**_LN, name="norm")(x)
+
+
+class PVTv2(nn.Module):
+    """4-stage pyramid encoder; returns NHWC features at /4, /8, /16, /32."""
+
+    config: PVTv2Config = PVTv2Config()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.config
+        deterministic = not train
+        # stochastic-depth schedule: linear ramp over all blocks
+        dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
+        cur = 0
+        outs = []
+        for i in range(4):
+            x = OverlapPatchEmbed(
+                patch_size=7 if i == 0 else 3,
+                stride=4 if i == 0 else 2,
+                embed_dim=cfg.embed_dims[i],
+                dtype=self.dtype,
+                name=f"patch_embed{i + 1}",
+            )(x)
+
+            block_cls = PVTBlock
+            if cfg.remat:
+                block_cls = nn.remat(
+                    PVTBlock,
+                    static_argnums=(2,),
+                    prevent_cse=False,
+                )
+            StageScan = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "droppath": True, "dropout": True},
+                in_axes=(0,),
+                length=cfg.depths[i],
+            )
+            rates = jnp.asarray(dpr[cur : cur + cfg.depths[i]], jnp.float32)
+            cur += cfg.depths[i]
+            x, _ = StageScan(
+                dim=cfg.embed_dims[i],
+                num_heads=cfg.num_heads[i],
+                mlp_ratio=cfg.mlp_ratios[i],
+                sr_ratio=cfg.sr_ratios[i],
+                qkv_bias=cfg.qkv_bias,
+                linear=cfg.linear,
+                drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                dtype=self.dtype,
+                name=f"stage{i + 1}",
+            )(x, rates, deterministic)
+            x = nn.LayerNorm(**_LN, name=f"norm{i + 1}")(x)
+            outs.append(x)
+
+        return tuple(outs)
