@@ -1,0 +1,276 @@
+"""Host data pipeline: threaded decode/augment -> pinned numpy batches.
+
+TPU-native replacement for the reference's DataLoader stack
+(``dataset/dataset.py:133-153`` + worker processes): a thread pool decodes
+and augments PIL frames while the accelerator trains, with a bounded
+prefetch queue of ready NHWC numpy batches. The training loop overlaps
+host->HBM transfer with compute via ``shard_batch`` on the mesh.
+
+Preprocessing parity with the reference: PIL bilinear resize to the square
+input size, [0,1] scaling, ImageNet normalization (dataset.py:76-82); GT
+resized the same way without normalization.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+from PIL import Image
+
+from emip_tpu.data import augment as aug
+from emip_tpu.data.manifest import ClipItem, PairItem, scan_clips, scan_pairs
+from emip_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+__all__ = ["PairTrainLoader", "PairEvalLoader", "ClipLoader",
+           "load_pair_arrays"]
+
+_MEAN = np.asarray(IMAGENET_MEAN, np.float32)
+_STD = np.asarray(IMAGENET_STD, np.float32)
+
+
+def _load_rgb(path: str) -> Image.Image:
+    with open(path, "rb") as f:
+        return Image.open(f).convert("RGB")
+
+
+def _load_gray(path: str) -> Image.Image:
+    with open(path, "rb") as f:
+        return Image.open(f).convert("L")
+
+
+def _to_norm_array(img: Image.Image, size: int | None) -> np.ndarray:
+    if size is not None and img.size != (size, size):
+        img = img.resize((size, size), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - _MEAN) / _STD
+
+
+def _to_mask_array(img: Image.Image, size: int | None) -> np.ndarray:
+    if size is not None and img.size != (size, size):
+        img = img.resize((size, size), Image.BILINEAR)
+    return (np.asarray(img, np.float32) / 255.0)[..., None]
+
+
+def load_pair_arrays(item: PairItem, size: int):
+    """Eval-path loading of one pair (no augmentation)."""
+    img1 = _load_rgb(item.image1)
+    orig_hw = (img1.height, img1.width)
+    a = _to_norm_array(img1, size)
+    b = _to_norm_array(_load_rgb(item.image2), size)
+    return a, b, orig_hw
+
+
+class PairTrainLoader:
+    """Shuffled, augmented, batched frame-pair loader with prefetch."""
+
+    def __init__(
+        self,
+        images_root: str,
+        gts_root: str,
+        batch_size: int,
+        size: int = 352,
+        dataset_type: str = "MoCA",
+        seed: int = 123,
+        num_workers: int = 8,
+        prefetch: int = 4,
+        augment: bool = True,
+        flip_augment: bool = False,
+        drop_remainder: bool = True,
+    ):
+        self.items = scan_pairs(images_root, gts_root, dataset_type)
+        self.batch_size = batch_size
+        self.size = size
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.augment = augment
+        self.flip_augment = flip_augment
+        self.drop_remainder = drop_remainder
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.items) // self.batch_size
+        if not self.drop_remainder and len(self.items) % self.batch_size:
+            n += 1
+        return n
+
+    def _load_one(self, item: PairItem, rng: random.Random):
+        img1 = _load_rgb(item.image1)
+        img2 = _load_rgb(item.image2)
+        gt = _load_gray(item.gt)
+        if self.augment:
+            img1, img2, gt = aug.joint_rotation(rng, [img1, img2, gt])
+            if self.flip_augment:
+                img1, img2, gt = aug.joint_hflip(rng, [img1, img2, gt])
+                img1, img2, gt = aug.joint_vflip(rng, [img1, img2, gt])
+            img1 = aug.color_jitter(rng, img1)
+            img2 = aug.color_jitter(rng, img2)
+            gt = aug.salt_pepper(rng, gt)
+        return (
+            _to_norm_array(img1, self.size),
+            _to_norm_array(img2, self.size),
+            _to_mask_array(gt, self.size),
+        )
+
+    def __iter__(self):
+        self.epoch += 1
+        order = list(range(len(self.items)))
+        shuffle_rng = random.Random(f"{self.seed}:{self.epoch}")
+        shuffle_rng.shuffle(order)
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_remainder:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for bi, idxs in enumerate(batches):
+                    rngs = [
+                        random.Random(f"{self.seed}:{self.epoch}:{bi}:{j}")
+                        for j in range(len(idxs))
+                    ]
+                    results = list(
+                        pool.map(
+                            lambda t: self._load_one(self.items[t[0]], t[1]),
+                            zip(idxs, rngs),
+                        )
+                    )
+                    out_q.put(
+                        dict(
+                            image1=np.stack([r[0] for r in results]),
+                            image2=np.stack([r[1] for r in results]),
+                            gt=np.stack([r[2] for r in results]),
+                        )
+                    )
+            out_q.put(sentinel)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        while True:
+            item = out_q.get()
+            if item is sentinel:
+                break
+            yield item
+
+
+class PairEvalLoader:
+    """Sequential pair loader for validation / prediction dumping.
+
+    Yields per-pair records with original-resolution GT (when present) for
+    metric computation at native size, mirroring the reference's
+    test_dataset / eval_dataset protocols (dataset.py:157-293) minus their
+    global-index-cycling statefulness (SURVEY.md §7.10).
+    """
+
+    def __init__(
+        self,
+        images_root: str,
+        gts_root: str | None = None,
+        size: int = 352,
+        dataset_type: str = "MoCA",
+        with_gt: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 8,
+    ):
+        self.items = scan_pairs(
+            images_root, gts_root, dataset_type, require_gt=with_gt
+        )
+        self.size = size
+        self.with_gt = with_gt
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.items)
+
+    def _load_one(self, item: PairItem):
+        img1 = _load_rgb(item.image1)
+        orig_hw = (img1.height, img1.width)
+        rec = dict(
+            image1=_to_norm_array(img1, self.size),
+            image2=_to_norm_array(_load_rgb(item.image2), self.size),
+            video=item.video,
+            frame_name=item.frame_name,
+            orig_hw=orig_hw,
+        )
+        if self.with_gt and item.gt is not None:
+            gt = _load_gray(item.gt)
+            rec["gt"] = np.asarray(gt, np.float32)  # native resolution, 0..255
+            rec["gt_resized"] = _to_mask_array(gt, self.size)
+            rec["orig_hw"] = (gt.height, gt.width)
+        return rec
+
+    def __iter__(self):
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            yield from pool.map(self._load_one, self.items)
+
+
+class ClipLoader:
+    """Whole-video loader for the long-term model.
+
+    One element per video: frames [T, H, W, 3] (normalized), masks
+    [T, h, w, 1] at model resolution, native-resolution GTs, and naming
+    info — the clip-level protocol of ``dataset/dataset_long_acc.py`` (no
+    augmentation, effective batch 1 per video).
+    """
+
+    def __init__(
+        self,
+        images_root: str,
+        gts_root: str | None = None,
+        size: int = 352,
+        dataset_type: str = "MoCA",
+        with_gt: bool = True,
+        num_workers: int = 8,
+        shuffle: bool = False,
+        seed: int = 123,
+    ):
+        self.clips = scan_clips(
+            images_root, gts_root, dataset_type, require_gt=with_gt
+        )
+        self.size = size
+        self.with_gt = with_gt
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.clips)
+
+    def load_clip(self, clip: ClipItem):
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            frames = list(
+                pool.map(lambda p: _to_norm_array(_load_rgb(p), self.size),
+                         clip.frames)
+            )
+        rec = dict(
+            video=clip.video,
+            frames=np.stack(frames),  # [T, S, S, 3]
+            frame_names=clip.frame_names,
+        )
+        if self.with_gt and clip.gts:
+            gts = [_load_gray(p) for p in clip.gts]
+            rec["masks"] = np.stack(
+                [_to_mask_array(g, self.size) for g in gts]
+            )
+            rec["gts"] = [np.asarray(g, np.float32) for g in gts]
+        return rec
+
+    def __iter__(self):
+        self.epoch += 1
+        order = list(range(len(self.clips)))
+        if self.shuffle:
+            random.Random(f"{self.seed}:{self.epoch}").shuffle(order)
+        for i in order:
+            yield self.load_clip(self.clips[i])

@@ -271,7 +271,7 @@ class PVTv2(nn.Module):
                 block_cls,
                 variable_axes={"params": 0},
                 split_rngs={"params": True, "droppath": True, "dropout": True},
-                in_axes=(0,),
+                in_axes=(0, nn.broadcast),
                 length=cfg.depths[i],
             )
             rates = jnp.asarray(dpr[cur : cur + cfg.depths[i]], jnp.float32)

@@ -1,0 +1,70 @@
+"""Device mesh and sharding helpers: SPMD data parallelism over ICI.
+
+The reference scales with DDP/NCCL + DistributedSampler (SURVEY.md §2.3,
+reference train.py:185-219,279). The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis: batches are sharded along
+``data``, parameters are replicated, and XLA inserts the psum gradient
+all-reduce over ICI inside the jitted train step — no hand-written
+collectives. A ``model`` axis is factored in (size 1 by default) so tensor
+parallelism can slot in without API changes.
+
+Multi-host (DCN) runs initialize with ``jax.distributed.initialize`` and use
+the same mesh spanning all hosts — that call replaces the reference's
+SLURM/torchrun rendezvous.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "init_distributed",
+]
+
+
+def make_mesh(devices=None, model_parallel: int = 1) -> Mesh:
+    """('data', 'model') mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis along 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays, batch-sharded along 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host bootstrap (DCN). No-op in single-process runs.
+
+    TPU-native replacement for the reference's SLURM/torchrun + NCCL
+    rendezvous (train.py:185-219).
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process / already-initialized runs are fine
+        pass

@@ -1,0 +1,77 @@
+"""Shape/behavior tests for the short-term two-stream model (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emip_tpu.models.emip_short import EMIPShort, SegNetwork
+from tests.helpers import tiny_short_config
+
+
+@pytest.fixture(scope="module")
+def tiny_model_and_params():
+    cfg = tiny_short_config(inp_size=64)
+    model = EMIPShort(config=cfg)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(rng, img, img, train=False)
+    return model, variables
+
+
+def test_short_forward_shapes(tiny_model_and_params):
+    model, variables = tiny_model_and_params
+    img1 = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 64, 64, 3)), jnp.float32)
+    img2 = img1 + 0.01
+
+    mask, flow_fw, flow_bw = model.apply(variables, img1, img2, train=False)
+    assert mask.shape == (2, 64, 64, 1)
+    # eval mode: one (convex-upsampled) flow prediction
+    assert len(flow_fw) == len(flow_bw) == 1
+    assert flow_fw[0].shape == (2, 64, 64, 2)
+    assert np.isfinite(np.asarray(mask)).all()
+
+
+def test_short_training_returns_intermediate_flows(tiny_model_and_params):
+    model, variables = tiny_model_and_params
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out, mutated = model.apply(
+        variables, img, img, train=True,
+        rngs={"droppath": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"],
+    )
+    mask, flow_fw, flow_bw = out
+    # training mode: pre-propagation bilinear + final convex predictions
+    assert len(flow_fw) == 2
+    assert all(f.shape == (1, 64, 64, 2) for f in flow_fw)
+    assert "batch_stats" in mutated
+
+
+def test_short_forward_jits(tiny_model_and_params):
+    model, variables = tiny_model_and_params
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+
+    @jax.jit
+    def fwd(v, a, b):
+        return model.apply(v, a, b, train=False)[0]
+
+    m = fwd(variables, img, img)
+    assert m.shape == (1, 64, 64, 1)
+
+
+def test_seg_network_shapes():
+    from tests.helpers import TINY_PVT
+    from emip_tpu.models.backbones import register_backbone
+    from emip_tpu.models.pvt_v2 import PVTv2
+
+    register_backbone(
+        "pvt_v2_tiny",
+        lambda dtype: PVTv2(config=TINY_PVT, dtype=dtype),
+        TINY_PVT.embed_dims,
+    )
+    model = SegNetwork(backbone_name="pvt_v2_tiny", channel=8)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    logits = model.apply(variables, img, train=False)
+    assert logits.shape == (1, 64, 64, 1)

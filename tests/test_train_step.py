@@ -1,0 +1,100 @@
+"""Train-step tests: loss computes, params update, GMFlow stays frozen,
+and the step runs sharded over an 8-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emip_tpu.models.emip_short import EMIPShort
+from emip_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from emip_tpu.train.state import (
+    GMFLOW_FREEZE,
+    TrainState,
+    build_optimizer,
+    cosine_epoch_lr,
+)
+from emip_tpu.train.short import make_short_train_step
+from tests.helpers import tiny_short_config
+
+
+def _make_batch(n=2, size=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        image1=jnp.asarray(rng.standard_normal((n, size, size, 3)), jnp.float32),
+        image2=jnp.asarray(rng.standard_normal((n, size, size, 3)), jnp.float32),
+        gt=jnp.asarray(rng.uniform(size=(n, size, size, 1)) > 0.5, jnp.float32),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_short_config(inp_size=64)
+    model = EMIPShort(config=cfg)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img, train=False)
+    tx = build_optimizer(learning_rate=1e-3, weight_decay=1e-7, clip_value=0.5)
+    state = TrainState.create(variables, tx, GMFLOW_FREEZE)
+    step = make_short_train_step(model, tx, donate=False)
+    return model, state, step
+
+
+def test_train_step_updates_trainable_only(setup):
+    _, state, step = setup
+    frozen_before = jax.tree_util.tree_map(np.asarray, state.frozen)
+    new_state, metrics = step(state, _make_batch(), jax.random.PRNGKey(1))
+
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss_pred"]) > 0
+
+    # trainable params changed
+    leaves_before = jax.tree_util.tree_leaves(state.params)
+    leaves_after = jax.tree_util.tree_leaves(new_state.params)
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_before, leaves_after)
+    )
+    assert changed
+
+    # frozen (GMFlow) params identical
+    for a, b in zip(
+        jax.tree_util.tree_leaves(frozen_before),
+        jax.tree_util.tree_leaves(new_state.frozen),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_freeze_partition_covers_gmflow(setup):
+    _, state, _ = setup
+    from flax import traverse_util
+
+    frozen_keys = traverse_util.flatten_dict(state.frozen).keys()
+    trainable_keys = traverse_util.flatten_dict(state.params).keys()
+    assert all("gmflow" in k for k in frozen_keys)
+    assert all("gmflow" not in k for k in trainable_keys)
+    assert len(frozen_keys) > 0 and len(trainable_keys) > 0
+
+
+def test_train_step_sharded_8dev(setup):
+    _, state, step = setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    batch = shard_batch(_make_batch(n=8), mesh)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cosine_epoch_lr_matches_torch_semantics():
+    lr = cosine_epoch_lr(base_lr=1e-5, eta_min=1e-6, t_max=30)
+    # epoch 1 trains at cosine step 1 (pre-step quirk)
+    t1 = 1e-6 + (1e-5 - 1e-6) * (1 + np.cos(np.pi * 1 / 30)) / 2
+    assert np.isclose(lr(1), t1)
+    # at T_max the LR bottoms out at eta_min, then re-rises (periodicity)
+    assert np.isclose(lr(30), 1e-6)
+    assert lr(31) > lr(30)
+
+
+def test_set_learning_rate(setup):
+    _, state, _ = setup
+    s2 = state.set_learning_rate(3e-4)
+    assert np.isclose(float(s2.opt_state[1].hyperparams["learning_rate"]), 3e-4)
