@@ -139,6 +139,27 @@ def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     return _apply_separable(x, _nearest_weights(h, oh), _nearest_weights(w, ow))
 
 
+def resize_bilinear_np(
+    x: np.ndarray, out_hw: tuple[int, int], align_corners: bool = False
+) -> np.ndarray:
+    """Host-side (numpy) bilinear resize of a [H, W] or [H, W, C] array.
+
+    Same semantics as :func:`resize_bilinear`; used for per-frame
+    variable-shape post-processing (resizing logits to native GT size)
+    where a shape-static device program is not possible.
+    """
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    h, w = x.shape[0], x.shape[1]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    wh = _linear_weights(h, oh, align_corners)
+    ww = _linear_weights(w, ow, align_corners)
+    out = np.einsum("ph,hwc->pwc", wh, x.astype(np.float32))
+    out = np.einsum("qw,pwc->pqc", ww, out)
+    return out[..., 0] if squeeze else out
+
+
 def normalize_imagenet(x: jnp.ndarray) -> jnp.ndarray:
     """Normalize [0,1] RGB NHWC images by ImageNet statistics."""
     mean = jnp.asarray(IMAGENET_MEAN, dtype=x.dtype)

@@ -1,0 +1,83 @@
+"""Observability: file logging + TensorBoard-compatible scalars + step timing.
+
+Improves on the reference's logging (train.py:366-371 + tensorboardX
+scalars) by adding first-class per-step timing — the reference had zero
+profiling hooks (SURVEY.md §5). ``jax.profiler`` traces can be toggled with
+``ScalarLogger.trace`` for TPU timeline capture.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from contextlib import contextmanager
+
+__all__ = ["setup_logging", "ScalarLogger"]
+
+
+def setup_logging(save_path: str, filename: str = "train_log.log"):
+    os.makedirs(save_path, exist_ok=True)
+    logging.basicConfig(
+        filename=os.path.join(save_path, filename),
+        format="[%(asctime)s-%(filename)s-%(levelname)s:%(message)s]",
+        level=logging.INFO,
+        filemode="a",
+        datefmt="%Y-%m-%d %I:%M:%S %p",
+    )
+    return logging.getLogger("emip_tpu")
+
+
+class ScalarLogger:
+    """Scalar sink: TensorBoard events (when available) + JSONL fallback."""
+
+    def __init__(self, save_path: str):
+        os.makedirs(save_path, exist_ok=True)
+        self._jsonl = open(os.path.join(save_path, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(save_path, "summary"))
+        except ImportError:
+            pass
+        self._timers: dict[str, float] = {}
+
+    def scalar(self, tag: str, value, step: int):
+        value = float(value)
+        self._jsonl.write(
+            json.dumps(dict(tag=tag, value=value, step=int(step),
+                            time=time.time()))
+            + "\n"
+        )
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def scalars(self, tag_values: dict, step: int):
+        for tag, value in tag_values.items():
+            self.scalar(tag, value, step)
+
+    @contextmanager
+    def timed(self, tag: str, step: int):
+        """Wall-clock a block and record it as a scalar (seconds)."""
+        t0 = time.perf_counter()
+        yield
+        self.scalar(tag, time.perf_counter() - t0, step)
+
+    @contextmanager
+    def trace(self, logdir: str):
+        """Capture a jax.profiler trace around a block (TPU timeline)."""
+        import jax
+
+        jax.profiler.start_trace(logdir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
