@@ -137,3 +137,24 @@ def unsup_flow_loss(
         jnp.abs(jnp.concatenate([flows[0][0], flows[0][1]], axis=-1))
     )
     return warp_loss, warp_loss, mean_abs
+
+
+def unsup_flow_loss_decay(
+    flows: Sequence[tuple[jnp.ndarray, jnp.ndarray]],
+    im1: jnp.ndarray,
+    im2: jnp.ndarray,
+    gamma: float = 0.8,
+    cfg: UnsupFlowLossConfig = UnsupFlowLossConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RAFT-style gamma-decayed variant: later predictions weigh more.
+
+    Alternate catalogued from the reference's unused ``unFlowLoss_decay``
+    (loss/loss_flow.py:144-276, weights gamma^(n-1-i)); all predictions
+    are full resolution in the shipped config so no pyramid resizing.
+    """
+    n = len(flows)
+    weights = tuple(gamma ** (n - 1 - i) for i in range(n))
+    decayed = dataclasses.replace(
+        cfg, w_scales=tuple(w * s for w, s in zip(weights, cfg.w_scales))
+    )
+    return unsup_flow_loss(flows, im1, im2, decayed)

@@ -4,6 +4,7 @@ from emip_tpu.metrics.metrics import (
     Emeasure,
     Fmeasure,
     IoU,
+    Medical,
     Smeasure,
     WeightedFmeasure,
     prepare_pred_gt,

@@ -353,6 +353,52 @@ class Dice(_Streaming):
         return self._mean()
 
 
+class Medical:
+    """Threshold-sweep Sen/Spe/Dice/IoU curves (256 thresholds, 1 -> 0).
+
+    Vectorized equivalent of the offline evaluator's Medical metric
+    (eval/eval_vcod/metrics.py:399-465): instead of a python loop over 256
+    thresholds, counts come from searchsorted on the sorted prediction
+    values inside/outside the GT. Zero-overlap thresholds score 0 across
+    the board (the reference's NumAnd == 0 rule).
+    """
+
+    def __init__(self):
+        self.thresholds = np.linspace(1, 0, 256)
+        self.sen, self.spe, self.dice, self.iou = [], [], [], []
+
+    def step(self, pred: np.ndarray, gt: np.ndarray):
+        pred, gt = prepare_pred_gt(pred, gt)
+        pos = np.sort(pred[gt].ravel())
+        neg = np.sort(pred[~gt].ravel())
+        n_pos, n_neg = pos.size, neg.size
+
+        thr = np.minimum(self.thresholds, 1.0)
+        tp = n_pos - np.searchsorted(pos, thr, side="left")
+        fp = n_neg - np.searchsorted(neg, thr, side="left")
+        fn = n_pos - tp
+        tn = n_neg - fp
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sen = np.where(tp > 0, tp / max(n_pos, 1), 0.0)
+            spe = np.where(tp > 0, tn / np.maximum(tn + fp, 1), 0.0)
+            dice = np.where(tp > 0, 2 * tp / np.maximum(n_pos + tp + fp, 1),
+                            0.0)
+            iou = np.where(tp > 0, tp / np.maximum(fn + tp + fp, 1), 0.0)
+        self.sen.append(sen)
+        self.spe.append(spe)
+        self.dice.append(dice)
+        self.iou.append(iou)
+
+    def get_results(self):
+        sen = np.mean(np.asarray(self.sen, np.float64), axis=0)
+        spe = np.mean(np.asarray(self.spe, np.float64), axis=0)
+        dice = np.mean(np.asarray(self.dice, np.float64), axis=0)
+        iou = np.mean(np.asarray(self.iou, np.float64), axis=0)
+        return dict(meanSen=sen, maxSen=sen, meanSpe=spe, maxSpe=spe,
+                    meanDice=dice, maxDice=dice, meanIoU=iou, maxIoU=iou)
+
+
 class IoU(_Streaming):
     """Soft IoU over raw maps (reference eval/metrics.py:488-492)."""
 

@@ -116,8 +116,7 @@ class EMIPLong(nn.Module):
 
         scan = nn.scan(
             body,
-            variable_broadcast="params",
-            variable_axes={"batch_stats": None},
+            variable_broadcast=["params", "batch_stats"],
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,

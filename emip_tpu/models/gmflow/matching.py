@@ -25,13 +25,17 @@ def global_correlation_softmax(
     feature0: jnp.ndarray,
     feature1: jnp.ndarray,
     pred_bidir_flow: bool = False,
+    use_pallas: bool = True,
 ):
     """Global matching flow.
 
-    Returns (flow [B', H, W, 2], prob [B', HW, HW], corr [B, H, W, HW])
-    where B' = 2B when bidirectional (fw then bw stacked on batch).
-    The raw ``corr`` volume (pre-softmax, feature0 -> feature1) is consumed
-    downstream as the motion prompt (reference: matching.py:16-20,41).
+    Returns (flow [B', H, W, 2], prob [B', HW, HW] or None, corr
+    [B, H, W, HW]) where B' = 2B when bidirectional (fw then bw stacked on
+    batch). The raw ``corr`` volume (pre-softmax, feature0 -> feature1) is
+    consumed downstream as the motion prompt (reference: matching.py:16-20,41).
+
+    With ``use_pallas`` the softmax expectation runs as a fused kernel that
+    never materializes the [B', HW, HW] probabilities (prob returns None).
     """
     b, h, w, c = feature0.shape
     f0 = feature0.reshape(b, h * w, c).astype(jnp.float32)
@@ -46,8 +50,14 @@ def global_correlation_softmax(
     else:
         correlation = corr
 
-    prob = jax.nn.softmax(correlation, axis=-1)
-    correspondence = jnp.einsum("bij,jk->bik", prob, grid)
+    if use_pallas:
+        from emip_tpu.ops.pallas import softmax_expectation
+
+        correspondence = softmax_expectation(correlation, grid)
+        prob = None
+    else:
+        prob = jax.nn.softmax(correlation, axis=-1)
+        correspondence = jnp.einsum("bij,jk->bik", prob, grid)
     flow = (correspondence - grid[None]).reshape(-1, h, w, 2)
 
     corr_volume = corr.reshape(b, h, w, h * w)

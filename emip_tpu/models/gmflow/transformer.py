@@ -193,6 +193,7 @@ class FeatureFlowAttention(nn.Module):
     """
 
     in_channels: int = 128
+    use_pallas: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -209,6 +210,16 @@ class FeatureFlowAttention(nn.Module):
 
         if local_window_attn:
             return self._local(q, k, flow, local_window_radius)
+
+        if self.use_pallas:
+            from emip_tpu.ops.pallas import fused_flow_attention
+
+            out = fused_flow_attention(
+                q.reshape(b, h * w, c),
+                k.reshape(b, h * w, c),
+                flow.reshape(b, h * w, -1),
+            )
+            return out.reshape(b, h, w, flow.shape[-1]).astype(flow.dtype)
 
         scores = jnp.einsum(
             "bhwc,bpqc->bhwpq",

@@ -262,9 +262,11 @@ class PVTv2(nn.Module):
 
             block_cls = PVTBlock
             if cfg.remat:
+                # static_argnums counts the module instance at index 0:
+                # (module, x, drop_path_rate, deterministic)
                 block_cls = nn.remat(
                     PVTBlock,
-                    static_argnums=(2,),
+                    static_argnums=(3,),
                     prevent_cse=False,
                 )
             StageScan = nn.scan(

@@ -1,0 +1,228 @@
+"""Long-term model training: per-frame steps with rolling memory.
+
+Semantics from the reference trainer (train_long.py: §3.4 of SURVEY.md):
+the short-term net is fully frozen; the LTM heads + fresh injector/decoder
+train frame-by-frame over whole videos, with memory key/values *detached*
+between frames (truncated BPTT) and an optimizer step per frame. Model
+selection is best-by-S-measure (train_long.py:172).
+
+The per-frame step is one jitted device program with the fixed-shape
+MemoryState threaded through; frames of one clip stream sequentially (a
+data dependency the reference also has), while the batch axis can carry
+multiple clips in parallel.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from emip_tpu.data.pipeline import ClipLoader
+from emip_tpu.losses.seg import hybrid_e_loss
+from emip_tpu.metrics import MAE, Smeasure, WeightedFmeasure
+from emip_tpu.models.emip_long import EMIPLong
+from emip_tpu.ops.image import resize_bilinear_np
+from emip_tpu.train.state import (
+    SHORT_TERM_FREEZE,
+    TrainState,
+    build_optimizer,
+    cosine_epoch_lr,
+    merge_params,
+)
+from emip_tpu.utils.checkpoint import save_checkpoint
+from emip_tpu.utils.config import Config, snapshot_config
+from emip_tpu.utils.logging import ScalarLogger, setup_logging
+
+__all__ = ["build_long_state", "make_long_train_step", "train_long"]
+
+log = logging.getLogger("emip_tpu")
+
+
+def _dtype_of(cfg: Config):
+    import jax.numpy as jnp
+
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.compute_dtype]
+
+
+def build_long_state(cfg: Config, short_variables: dict | None = None):
+    """EMIPLong + TrainState with the short-term subtree frozen.
+
+    ``short_variables``: variables of a trained EMIPShort to load under
+    ``short_term`` (the reference's 'short_term.'+k remap,
+    train_long.py:391-402).
+    """
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    model = EMIPLong(config=cfg.model, memory_size=cfg.memory_size,
+                     dtype=_dtype_of(cfg))
+    size = cfg.model.inp_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    mem = model.init_memory(1)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(cfg.seed), dummy, dummy, mem,
+                           False)
+    )()
+
+    if short_variables is not None:
+        flat = dict(traverse_util.flatten_dict(variables["params"]))
+        for path, val in traverse_util.flatten_dict(
+            short_variables["params"]
+        ).items():
+            key = ("short_term",) + path
+            if key in flat:
+                flat[key] = val
+        variables = dict(variables)
+        variables["params"] = traverse_util.unflatten_dict(flat)
+        if short_variables.get("batch_stats"):
+            bs = dict(traverse_util.flatten_dict(variables["batch_stats"]))
+            for path, val in traverse_util.flatten_dict(
+                short_variables["batch_stats"]
+            ).items():
+                key = ("short_term",) + path
+                if key in bs:
+                    bs[key] = val
+            variables["batch_stats"] = traverse_util.unflatten_dict(bs)
+
+    tx = build_optimizer(cfg.optimizer.lr, cfg.optimizer.weight_decay,
+                         cfg.clip)
+    state = TrainState.create(variables, tx, SHORT_TERM_FREEZE)
+    return model, tx, state
+
+
+def make_long_train_step(model: EMIPLong, tx) -> Callable:
+    """Jitted per-frame step: (state, mem, img_prev, img_cur, gt) ->
+    (state, mem, metrics). Optimizer steps every frame (reference
+    train_long.py:55-60)."""
+
+    def step(state: TrainState, mem, img_prev, img_cur, gt):
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            (mask_long, _, new_mem), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img_prev, img_cur, mem, True,
+                mutable=["batch_stats"],
+            )
+            loss = hybrid_e_loss(mask_long, gt)
+            return loss, (new_mem, mutated["batch_stats"], loss)
+
+        grads, (new_mem, batch_stats, loss) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        import optax
+
+        params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            step=state.step + 1,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        return new_state, new_mem, dict(loss=loss)
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def validate_long(model, state, cfg: Config, max_items: int | None = None):
+    """Per-frame long-model validation over the val split (S-measure etc.)."""
+    variables = {
+        "params": merge_params(state.params, state.frozen),
+        "batch_stats": state.batch_stats,
+    }
+
+    @jax.jit
+    def step(variables, img_prev, img_cur, mem):
+        mask, _, new_mem = model.apply(
+            variables, img_prev, img_cur, mem, False,
+            method=lambda m, a, b, s, t: m.step(a, b, s, t),
+        )
+        return mask, new_mem
+
+    loader = ClipLoader(
+        cfg.val_dataset.image_path, cfg.val_dataset.gt_path,
+        size=cfg.val_dataset.inp_size,
+        dataset_type=cfg.val_dataset.dataset_type,
+    )
+    sm, wfm, mae = Smeasure(), WeightedFmeasure(), MAE()
+    for ci, clip in enumerate(loader):
+        if max_items is not None and ci >= max_items:
+            break
+        frames, gts = clip["frames"], clip["gts"]
+        mem = model.init_memory(1)
+        for t in range(1, len(frames)):
+            mask, mem = step(variables, frames[t - 1 : t], frames[t : t + 1], mem)
+            logits = np.asarray(mask, np.float32)[0, ..., 0]
+            gt = gts[t]
+            up = resize_bilinear_np(logits, gt.shape, align_corners=False)
+            pred = 1.0 / (1.0 + np.exp(-up))
+            pred = (pred - pred.min()) / (pred.max() - pred.min() + 1e-8)
+            for m in (sm, wfm, mae):
+                m.step(pred * 255.0, gt)
+    return dict(
+        Sm=float(sm.get_results()["sm"]),
+        wFm=float(wfm.get_results()["wfm"]),
+        MAE=float(mae.get_results()["mae"]),
+    )
+
+
+def train_long(cfg: Config, short_variables: dict | None = None,
+               max_videos_per_epoch: int | None = None,
+               max_frames_per_video: int | None = None):
+    setup_logging(cfg.save_path, "train_long_log.log")
+    snapshot_config(cfg, cfg.save_path)
+    scalars = ScalarLogger(cfg.save_path)
+
+    model, tx, state = build_long_state(cfg, short_variables)
+    step_fn = make_long_train_step(model, tx)
+
+    loader = ClipLoader(
+        cfg.train_dataset.image_path, cfg.train_dataset.gt_path,
+        size=cfg.train_dataset.inp_size,
+        dataset_type=cfg.train_dataset.dataset_type,
+        shuffle=True, seed=cfg.seed,
+    )
+    lr_fn = cosine_epoch_lr(cfg.optimizer.lr, cfg.lr_min, cfg.epoch_max)
+    ckpt_dir = os.path.join(cfg.save_path, "ckpt_long")
+    best_dir = os.path.join(cfg.save_path, "ckpt_long_best")
+
+    best_sm, best_epoch = -1.0, 0
+    global_step = 0
+    for epoch in range(1, cfg.epoch):
+        state = state.set_learning_rate(lr_fn(epoch))
+        t0 = time.perf_counter()
+        for vi, clip in enumerate(loader):
+            if max_videos_per_epoch is not None and vi >= max_videos_per_epoch:
+                break
+            frames, masks = clip["frames"], clip["masks"]
+            mem = model.init_memory(1)
+            t_max = len(frames)
+            if max_frames_per_video is not None:
+                t_max = min(t_max, max_frames_per_video)
+            for t in range(1, t_max):
+                state, mem, metrics = step_fn(
+                    state, mem,
+                    frames[t - 1 : t], frames[t : t + 1], masks[t : t + 1],
+                )
+                global_step += 1
+            scalars.scalar("loss/long", float(metrics["loss"]), global_step)
+        scalars.scalar("time/epoch_s", time.perf_counter() - t0, epoch)
+
+        if cfg.epoch_save and epoch % cfg.epoch_save == 0:
+            save_checkpoint(ckpt_dir, state, epoch)
+        if cfg.epoch_val and epoch % cfg.epoch_val == 0:
+            metrics = validate_long(model, state, cfg)
+            scalars.scalars({f"val_long/{k}": v for k, v in metrics.items()},
+                            epoch)
+            log.info("[Val-long] epoch %d %s", epoch, metrics)
+            if metrics["Sm"] > best_sm:
+                best_sm, best_epoch = metrics["Sm"], epoch
+                save_checkpoint(best_dir, state, epoch, max_to_keep=1)
+
+    scalars.close()
+    return state, dict(best_sm=best_sm, best_epoch=best_epoch)

@@ -88,6 +88,13 @@ def cosine_epoch_lr(
     return lr
 
 
+def adp_lr(batch_size: int, base_batch: int = 36,
+           base_lr: float = 1e-4) -> float:
+    """Square-root batch-size LR scaling (reference's unused adp_lr,
+    train.py:221-226; catalogued alternate)."""
+    return base_lr * (batch_size / base_batch) ** 0.5
+
+
 def build_optimizer(
     learning_rate: float = 1e-5,
     weight_decay: float = 1e-7,
