@@ -129,8 +129,14 @@ def make_long_train_step(model: EMIPLong, tx) -> Callable:
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def validate_long(model, state, cfg: Config, max_items: int | None = None):
-    """Per-frame long-model validation over the val split (S-measure etc.)."""
+def validate_long(model, state, cfg: Config, max_items: int | None = None,
+                  dataset: "DatasetConfig | None" = None):
+    """Per-frame long-model validation (S-measure etc.).
+
+    ``dataset`` overrides the val split — used for the CAD validation pass
+    (the reference defined ``val_cad`` but never wired it and its config
+    block was missing, SURVEY.md §7.2; here it runs when
+    ``val_dataset_cad`` is configured)."""
     variables = {
         "params": merge_params(state.params, state.frozen),
         "batch_stats": state.batch_stats,
@@ -144,10 +150,10 @@ def validate_long(model, state, cfg: Config, max_items: int | None = None):
         )
         return mask, new_mem
 
+    ds = dataset if dataset is not None else cfg.val_dataset
     loader = ClipLoader(
-        cfg.val_dataset.image_path, cfg.val_dataset.gt_path,
-        size=cfg.val_dataset.inp_size,
-        dataset_type=cfg.val_dataset.dataset_type,
+        ds.image_path, ds.gt_path, size=ds.inp_size,
+        dataset_type=ds.dataset_type,
     )
     sm, wfm, mae = Smeasure(), WeightedFmeasure(), MAE()
     for ci, clip in enumerate(loader):
@@ -220,6 +226,13 @@ def train_long(cfg: Config, short_variables: dict | None = None,
             scalars.scalars({f"val_long/{k}": v for k, v in metrics.items()},
                             epoch)
             log.info("[Val-long] epoch %d %s", epoch, metrics)
+            if cfg.val_dataset_cad is not None:
+                cad = validate_long(model, state, cfg,
+                                    dataset=cfg.val_dataset_cad)
+                scalars.scalars(
+                    {f"val_long_cad/{k}": v for k, v in cad.items()}, epoch
+                )
+                log.info("[Val-long-CAD] epoch %d %s", epoch, cad)
             if metrics["Sm"] > best_sm:
                 best_sm, best_epoch = metrics["Sm"], epoch
                 save_checkpoint(best_dir, state, epoch, max_to_keep=1)
