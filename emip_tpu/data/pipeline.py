@@ -215,6 +215,83 @@ class PairEvalLoader:
             yield from pool.map(self._load_one, self.items)
 
 
+class StaticImageLoader:
+    """Flat image/GT directory loader for static-image pretraining.
+
+    COD10K-style layout: ``<root>/Imgs/*.jpg`` (or ``Image/``) +
+    ``<root>/GT/*.png`` with matching basenames. Serves the
+    segmentation-stream pretrain config (BASELINE.json config #2) that the
+    reference implies via ``load.type: COD10K`` but ships no loader for.
+    """
+
+    def __init__(self, root: str, batch_size: int, size: int = 352,
+                 seed: int = 123, num_workers: int = 8, prefetch: int = 4,
+                 augment: bool = True, drop_remainder: bool = True):
+        import os
+
+        img_dir = None
+        for cand in ("Imgs", "Image", "Images"):
+            if os.path.isdir(os.path.join(root, cand)):
+                img_dir = os.path.join(root, cand)
+                break
+        assert img_dir is not None, f"no image dir under {root}"
+        gt_dir = os.path.join(root, "GT")
+        imgs = sorted(
+            os.path.join(img_dir, f) for f in os.listdir(img_dir)
+            if f.lower().endswith((".jpg", ".png"))
+        )
+        self.items = []
+        for img in imgs:
+            stem = os.path.splitext(os.path.basename(img))[0]
+            gt = os.path.join(gt_dir, stem + ".png")
+            if os.path.isfile(gt):
+                self.items.append((img, gt))
+        self.batch_size = batch_size
+        self.size = size
+        self.seed = seed
+        self.num_workers = num_workers
+        self.augment = augment
+        self.drop_remainder = drop_remainder
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.items) // self.batch_size
+        if not self.drop_remainder and len(self.items) % self.batch_size:
+            n += 1
+        return n
+
+    def _load_one(self, idx: int, rng: random.Random):
+        img_path, gt_path = self.items[idx]
+        img = _load_rgb(img_path)
+        gt = _load_gray(gt_path)
+        if self.augment:
+            img, gt = aug.joint_rotation(rng, [img, gt])
+            img, gt = aug.joint_hflip(rng, [img, gt])
+            img = aug.color_jitter(rng, img)
+            gt = aug.salt_pepper(rng, gt)
+        return _to_norm_array(img, self.size), _to_mask_array(gt, self.size)
+
+    def __iter__(self):
+        self.epoch += 1
+        order = list(range(len(self.items)))
+        random.Random(f"{self.seed}:{self.epoch}").shuffle(order)
+        batches = [order[i : i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_remainder:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for bi, idxs in enumerate(batches):
+                rngs = [random.Random(f"{self.seed}:{self.epoch}:{bi}:{j}")
+                        for j in range(len(idxs))]
+                results = list(pool.map(
+                    lambda t: self._load_one(t[0], t[1]), zip(idxs, rngs)
+                ))
+                yield dict(
+                    image=np.stack([r[0] for r in results]),
+                    gt=np.stack([r[1] for r in results]),
+                )
+
+
 class ClipLoader:
     """Whole-video loader for the long-term model.
 

@@ -15,7 +15,35 @@ from PIL import Image
 
 from emip_tpu.data.manifest import frames_subdir
 
-__all__ = ["make_synthetic_video_root"]
+__all__ = ["make_synthetic_video_root", "make_synthetic_static_root"]
+
+
+def make_synthetic_static_root(
+    root: str,
+    num_images: int = 8,
+    size: tuple[int, int] = (96, 128),
+    seed: int = 0,
+) -> str:
+    """COD10K-style flat Imgs/ + GT/ tree with random blob images."""
+    rng = np.random.default_rng(seed)
+    h, w = size
+    img_dir = os.path.join(root, "Imgs")
+    gt_dir = os.path.join(root, "GT")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(gt_dir, exist_ok=True)
+    yy, xx = np.mgrid[0:h, 0:w]
+    for i in range(num_images):
+        bg = rng.integers(0, 255, (h, w, 3), np.uint8)
+        cy, cx, r = rng.integers(15, h - 15), rng.integers(15, w - 15), 10
+        blob = ((yy - cy) ** 2 + (xx - cx) ** 2) <= r * r
+        frame = bg.copy()
+        frame[blob] = (230, 230, 230)
+        Image.fromarray(frame).save(os.path.join(img_dir, f"im_{i:04d}.jpg"),
+                                    quality=95)
+        Image.fromarray((blob * 255).astype(np.uint8)).save(
+            os.path.join(gt_dir, f"im_{i:04d}.png")
+        )
+    return root
 
 
 def make_synthetic_video_root(
