@@ -147,16 +147,25 @@ class EMIPShort(nn.Module):
         """Full two-stream forward; returns a dict of intermediates.
 
         (the long-term model reuses every piece of this computation)
+
+        Both frames ride one doubled batch through each encoder and the
+        camouflage feeder — mathematically identical to per-frame calls
+        (PVT normalizes with LayerNorm, the flow encoder with InstanceNorm;
+        both are per-sample) but one kernel schedule instead of two.
         """
         self._init_dead_modules()
-        fea_1 = self.seg_features(image1, train)
-        fea_2 = self.seg_features(image2, train)
-        fea_1_gm = self.flow_features(image1)
-        fea_2_gm = self.flow_features(image2)
+        n = image1.shape[0]
+        both = jnp.concatenate([image1, image2], axis=0)
+
+        stages = self.seg_features(both, train)
+        fea_1 = tuple(s[:n] for s in stages)
+        fea_2 = tuple(s[n:] for s in stages)
+
+        gm = self.flow_features(both)[0]
 
         # camouflage feeder: segmentation prompts into the motion stream
-        a = self.injector(fea_1_gm[0], fea_1[0])
-        b = self.injector(fea_2_gm[0], fea_2[0])
+        ab = self.injector(gm, stages[0])
+        a, b = ab[:n], ab[n:]
 
         flow_fw, flow_bw, corr = self.gmflow([a], [b], training=train)
 

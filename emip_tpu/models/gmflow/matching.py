@@ -38,10 +38,13 @@ def global_correlation_softmax(
     never materializes the [B', HW, HW] probabilities (prob returns None).
     """
     b, h, w, c = feature0.shape
-    f0 = feature0.reshape(b, h * w, c).astype(jnp.float32)
-    f1 = feature1.reshape(b, h * w, c).astype(jnp.float32)
+    f0 = feature0.reshape(b, h * w, c)
+    f1 = feature1.reshape(b, h * w, c)
 
-    corr = jnp.einsum("bic,bjc->bij", f0, f1) / (c**0.5)  # [B, HW, HW]
+    # bf16 MXU matmul, fp32 accumulation
+    corr = jnp.einsum(
+        "bic,bjc->bij", f0, f1, preferred_element_type=jnp.float32
+    ) / (c**0.5)  # [B, HW, HW]
 
     grid = coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
 

@@ -33,15 +33,17 @@ def _attention(q, k, v, mask=None):
     """Single-head scaled-dot attention over flattened windows.
 
     q, k, v: [B, L, C]; optional additive mask [B, L, L] or broadcastable.
+    bf16 MXU matmuls with fp32 accumulation; softmax in fp32.
     """
     c = q.shape[-1]
     scores = jnp.einsum(
-        "blc,bmc->blm", q.astype(jnp.float32), k.astype(jnp.float32)
+        "blc,bmc->blm", q, k, preferred_element_type=jnp.float32
     ) / (c**0.5)
     if mask is not None:
         scores = scores + mask
     probs = nn.softmax(scores, axis=-1)
-    out = jnp.einsum("blm,bmc->blc", probs, v.astype(jnp.float32))
+    out = jnp.einsum("blm,bmc->blc", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 

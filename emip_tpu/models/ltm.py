@@ -93,16 +93,21 @@ def memory_read(
     """
     b, t, h, w, ck = state.keys.shape
     cv = state.values.shape[-1]
-    mk = state.keys.reshape(b, t * h * w, ck).astype(jnp.float32)
-    mv = state.values.reshape(b, t * h * w, cv).astype(jnp.float32)
-    qk = q_key.reshape(b, h * w, ck).astype(jnp.float32)
+    mk = state.keys.reshape(b, t * h * w, ck)
+    mv = state.values.reshape(b, t * h * w, cv)
+    qk = q_key.reshape(b, h * w, ck)
 
-    logits = jnp.einsum("bmc,bnc->bmn", mk, qk) / (ck**0.5)  # [B, THW, HW]
+    logits = jnp.einsum(
+        "bmc,bnc->bmn", mk, qk, preferred_element_type=jnp.float32
+    ) / (ck**0.5)  # [B, THW, HW]
     slot_mask = jnp.repeat(state.valid, h * w, axis=1)  # [B, THW]
     logits = jnp.where(slot_mask[:, :, None], logits, -1e9)
     probs = nn.softmax(logits, axis=1)  # over time x space
 
-    mem = jnp.einsum("bmn,bmc->bnc", probs, mv).reshape(b, h, w, cv)
+    mem = jnp.einsum(
+        "bmn,bmc->bnc", probs.astype(mv.dtype), mv,
+        preferred_element_type=jnp.float32,
+    ).reshape(b, h, w, cv)
     return jnp.concatenate([mem.astype(q_value.dtype), q_value], axis=-1)
 
 

@@ -101,16 +101,15 @@ class MDTAttention(nn.Module):
         temperature = self.param(
             "temperature", nn.initializers.ones, (heads, 1, 1)
         )
+        # bf16 MXU matmuls, fp32 accumulation + softmax
         attn = (
-            jnp.einsum(
-                "bhcn,bhdn->bhcd",
-                q.astype(jnp.float32),
-                k.astype(jnp.float32),
-            )
+            jnp.einsum("bhcn,bhdn->bhcd", q, k,
+                       preferred_element_type=jnp.float32)
             * temperature
         )
         attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhcd,bhdn->bhcn", attn, v.astype(jnp.float32))
+        out = jnp.einsum("bhcd,bhdn->bhcn", attn.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32)
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c).astype(x.dtype)
         return nn.Conv(
             c, (1, 1), use_bias=self.use_bias, dtype=self.dtype, name="project_out"

@@ -80,10 +80,11 @@ class PVTv1Block(nn.Module):
         k, v = kv[:, :, 0], kv[:, :, 1]
         qh = q.reshape(b, h * w, heads, ch)
         attn = jnp.einsum(
-            "bnhc,bmhc->bhnm", qh.astype(jnp.float32), k.astype(jnp.float32)
+            "bnhc,bmhc->bhnm", qh, k, preferred_element_type=jnp.float32
         ) * (ch**-0.5)
         attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bmhc->bnhc", attn, v.astype(jnp.float32))
+        out = jnp.einsum("bhnm,bmhc->bnhc", attn.astype(x.dtype), v,
+                         preferred_element_type=jnp.float32)
         out = out.reshape(b, h, w, c).astype(x.dtype)
         out = nn.Dense(c, kernel_init=_trunc, dtype=self.dtype, name="proj")(out)
         x = x + _drop_path(out, drop_path_rate, deterministic, self)

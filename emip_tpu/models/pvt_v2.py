@@ -130,13 +130,17 @@ class SRAttention(nn.Module):
         k, v = kv[:, :, 0], kv[:, :, 1]
 
         scale = ch**-0.5
+        # bf16 MXU matmul with fp32 accumulation; softmax in fp32
         attn = jnp.einsum(
-            "bnhc,bmhc->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
+            "bnhc,bmhc->bhnm", q, k, preferred_element_type=jnp.float32
         ) * scale
         attn = nn.softmax(attn, axis=-1)
         if self.attn_drop > 0:
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhnm,bmhc->bnhc", attn, v.astype(jnp.float32))
+        out = jnp.einsum(
+            "bhnm,bmhc->bnhc", attn.astype(x.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
         out = out.reshape(b, h, w, c).astype(x.dtype)
         out = nn.Dense(c, kernel_init=_trunc, dtype=self.dtype, name="proj")(out)
         if self.proj_drop > 0:

@@ -49,11 +49,11 @@ class DownsampledAttention(nn.Module):
 
         qh, kh, vh = split(q), split(k), split(v)
         attn = jnp.einsum(
-            "bhnc,bhmc->bhnm", qh.astype(jnp.float32),
-            kh.astype(jnp.float32),
+            "bhnc,bhmc->bhnm", qh, kh, preferred_element_type=jnp.float32
         ) / (ch**0.5)
         attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmc->bhnc", attn, vh.astype(jnp.float32))
+        out = jnp.einsum("bhnm,bhmc->bhnc", attn.astype(q.dtype), vh,
+                         preferred_element_type=jnp.float32)
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.embedding_dim, dtype=self.dtype,

@@ -116,8 +116,8 @@ softmax_expectation.defvjp(_softmax_expectation_fwd, _softmax_expectation_bwd)
 
 
 def _flow_attention_kernel(q_ref, k_ref, v_ref, out_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)  # [TILE_M, C]
-    k = k_ref[0].astype(jnp.float32)  # [L, C]
+    q = q_ref[0]  # [TILE_M, C] — native dtype, MXU matmul, fp32 accumulation
+    k = k_ref[0]  # [L, C]
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)

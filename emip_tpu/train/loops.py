@@ -66,16 +66,21 @@ def build_short_state(cfg: Config, load_pretrained: bool = True):
     return model, tx, state
 
 
-def validate_short(model, state, cfg: Config, max_items: int | None = None):
+def validate_short(model, state, cfg: Config, max_items: int | None = None,
+                   eval_step=None):
     """wFm / Sm / MAE / val-loss over the validation split.
 
     Post-processing parity with the reference (train.py:131-137): logits
     upsampled (bilinear, align_corners=False) to native GT size, sigmoid,
     per-frame min-max normalization, metrics at native resolution.
+
+    Pass a prebuilt ``eval_step`` to reuse the compiled forward across
+    epochs (a fresh jit wrapper per call would recompile every time).
     """
     from emip_tpu.losses.seg import hybrid_e_loss
 
-    eval_step = make_short_eval_step(model)
+    if eval_step is None:
+        eval_step = make_short_eval_step(model)
     loader = PairEvalLoader(
         cfg.val_dataset.image_path,
         cfg.val_dataset.gt_path,
@@ -121,6 +126,7 @@ def train_short(cfg: Config, resume: bool = False,
     mesh = make_mesh()
     model, tx, state = build_short_state(cfg)
     train_step = make_short_train_step(model, tx)
+    eval_step = make_short_eval_step(model)
 
     ckpt_dir = os.path.join(cfg.save_path, "ckpt")
     best_dir = os.path.join(cfg.save_path, "ckpt_best")
@@ -192,7 +198,7 @@ def train_short(cfg: Config, resume: bool = False,
             save_checkpoint(ckpt_dir, state, epoch)
 
         if cfg.epoch_val and epoch % cfg.epoch_val == 0:
-            metrics = validate_short(model, state, cfg)
+            metrics = validate_short(model, state, cfg, eval_step=eval_step)
             scalars.scalars({f"val/{k}": v for k, v in metrics.items()}, epoch)
             log.info("[Val] epoch %d %s", epoch, metrics)
             if metrics["MAE"] < best_mae:

@@ -7,7 +7,13 @@ encoder, flow transformer+matching, correlation embedding, injectors,
 decoder).
 """
 
+import os
+import sys
 import time
+
+# repo-root import without PYTHONPATH (setting PYTHONPATH at all breaks the
+# axon TPU plugin registration — see CLAUDE.md)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
