@@ -127,9 +127,13 @@ class NeighborConnectionDecoder(nn.Module):
     Takes (zt5 @ H/32, zt4 @ H/16, zt3 @ H/8), each ``channel``-wide, and
     produces logits at H (x8 bilinear upsample of the H/8 map, default
     align_corners=False). (reference: create_backbone.py:46-76)
+
+    ``final_upsample=False`` returns the H/8 logits (the DGNet variant,
+    lib/DGNet.py:125-155, which upsamples externally).
     """
 
     channel: int = 32
+    final_upsample: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -156,6 +160,8 @@ class NeighborConnectionDecoder(nn.Module):
         )
 
         logits = conv5(conv4(zt3_2, train))
+        if not self.final_upsample:
+            return logits
         _, h, w, _ = logits.shape
         return resize_bilinear(
             logits.astype(jnp.float32), (8 * h, 8 * w), align_corners=False

@@ -55,3 +55,15 @@ def test_efficientnet_shapes(name):
         stride = 4 * 2**i
         assert o.shape == (1, 64 // stride, 64 // stride, c), (i, o.shape, c)
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_dgnet_shapes():
+    from emip_tpu.models.dgnet import DGNet
+
+    model = DGNet(channel=32, arc="efficientnet_b1")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    pc, pg = model.apply(variables, x, train=False)
+    assert pc.shape == (1, 64, 64, 1)
+    assert pg.shape == (1, 64, 64, 1)
+    assert np.isfinite(np.asarray(pc)).all()

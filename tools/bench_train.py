@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Training-step throughput of the flagship model (single chip).
+
+Full train step: forward (both streams), hybrid-E + photometric losses,
+backward over the trainable sub-tree, element-wise clip, AdamW. Uses the
+dependency-chained differential timing from bench.py (see its docstring).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emip_tpu.models.emip_short import EMIPShort, EMIPShortConfig
+from emip_tpu.train.short import make_short_train_step
+from emip_tpu.train.state import GMFLOW_FREEZE, TrainState, build_optimizer
+
+BS = int(os.environ.get("BENCH_TRAIN_BS", "8"))
+SIZE = 352
+
+
+def main():
+    config = EMIPShortConfig()
+    model = EMIPShort(config=config, dtype=jnp.bfloat16)
+    img = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), img, img, train=False)
+    )()
+    tx = build_optimizer()
+    state = TrainState.create(variables, tx, GMFLOW_FREEZE)
+    step = make_short_train_step(model, tx, donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = dict(
+        image1=jnp.asarray(rng.standard_normal((BS, SIZE, SIZE, 3)),
+                           jnp.float32),
+        image2=jnp.asarray(rng.standard_normal((BS, SIZE, SIZE, 3)),
+                           jnp.float32),
+        gt=jnp.asarray(rng.uniform(size=(BS, SIZE, SIZE, 1)) > 0.5,
+                       jnp.float32),
+    )
+
+    def run(n, state):
+        key = jax.random.PRNGKey(0)
+        loss = None
+        for _ in range(n):
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, batch, sk)
+            loss = metrics["loss"]
+        return float(loss), state
+
+    _, state = run(2, state)  # compile + warmup
+    t0 = time.perf_counter()
+    _, state = run(3, state)
+    t1 = time.perf_counter()
+    _, state = run(13, state)
+    t2 = time.perf_counter()
+    step_s = ((t2 - t1) - (t1 - t0)) / 10
+    print(f"train step bs={BS}: {step_s * 1e3:.1f} ms -> "
+          f"{BS / step_s:.1f} pairs/s")
+
+
+if __name__ == "__main__":
+    main()
