@@ -112,7 +112,7 @@ class TransformerLayer(nn.Module):
 
         message = window_attention(q, k, v, attn_num_splits, self.with_shift)
         message = dense("merge")(message)
-        message = nn.LayerNorm(dtype=jnp.float32, name="norm1")(message)
+        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
 
         if not self.no_ffn:
             cat = jnp.concatenate([source, message], axis=-1)
@@ -120,7 +120,7 @@ class TransformerLayer(nn.Module):
                          dtype=self.dtype, name="mlp0")(cat)
             y = nn.gelu(y, approximate=False)
             y = nn.Dense(c, use_bias=False, dtype=self.dtype, name="mlp2")(y)
-            message = nn.LayerNorm(dtype=jnp.float32, name="norm2")(y)
+            message = nn.LayerNorm(dtype=self.dtype, name="norm2")(y)
 
         # dead-but-checkpointed adaptor FCs (reference transformer.py:148-151)
         if self.is_initializing():

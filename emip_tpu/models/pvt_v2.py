@@ -65,7 +65,9 @@ PVT_V2_VARIANTS = {
                              (3, 6, 40, 3), (8, 4, 2, 1)),
 }
 
-_LN = dict(epsilon=1e-6, dtype=jnp.float32)
+# LayerNorm statistics are computed in fp32 by flax regardless of dtype;
+# bf16 storage halves the HBM traffic of the many norms.
+_LN = dict(epsilon=1e-6)
 _trunc = nn.initializers.truncated_normal(stddev=0.02)
 
 
@@ -114,13 +116,13 @@ class SRAttention(nn.Module):
                     strides=(self.sr_ratio, self.sr_ratio),
                     dtype=self.dtype, name="sr",
                 )(x)
-                kv_in = nn.LayerNorm(**_LN, name="norm")(kv_in)
+                kv_in = nn.LayerNorm(**_LN, dtype=self.dtype, name="norm")(kv_in)
             else:
                 kv_in = x
         else:
             pooled = resize_area(x, (7, 7))
             kv_in = nn.Conv(c, (1, 1), dtype=self.dtype, name="sr")(pooled)
-            kv_in = nn.LayerNorm(**_LN, name="norm")(kv_in)
+            kv_in = nn.LayerNorm(**_LN, dtype=self.dtype, name="norm")(kv_in)
             kv_in = nn.gelu(kv_in, approximate=False)
 
         m = kv_in.shape[1] * kv_in.shape[2]
@@ -199,7 +201,7 @@ class PVTBlock(nn.Module):
             self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
             self.linear, self.attn_drop, self.drop, dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(**_LN, name="norm1")(x), deterministic)
+        )(nn.LayerNorm(**_LN, dtype=self.dtype, name="norm1")(x), deterministic)
         if not deterministic:
             attn_out = _drop_path(
                 attn_out, drop_path_rate, deterministic,
@@ -210,7 +212,7 @@ class PVTBlock(nn.Module):
         mlp_out = MixFFN(
             self.dim, int(self.dim * self.mlp_ratio), self.linear, self.drop,
             dtype=self.dtype, name="mlp",
-        )(nn.LayerNorm(**_LN, name="norm2")(x), deterministic)
+        )(nn.LayerNorm(**_LN, dtype=self.dtype, name="norm2")(x), deterministic)
         if not deterministic:
             mlp_out = _drop_path(
                 mlp_out, drop_path_rate, deterministic,
@@ -238,7 +240,7 @@ class OverlapPatchEmbed(nn.Module):
             dtype=self.dtype,
             name="proj",
         )(x)
-        return nn.LayerNorm(**_LN, name="norm")(x)
+        return nn.LayerNorm(**_LN, dtype=self.dtype, name="norm")(x)
 
 
 class PVTv2(nn.Module):
@@ -294,7 +296,7 @@ class PVTv2(nn.Module):
                 dtype=self.dtype,
                 name=f"stage{i + 1}",
             )(x, rates, deterministic)
-            x = nn.LayerNorm(**_LN, name=f"norm{i + 1}")(x)
+            x = nn.LayerNorm(**_LN, dtype=self.dtype, name=f"norm{i + 1}")(x)
             outs.append(x)
 
         return tuple(outs)

@@ -41,7 +41,12 @@ def _interpret() -> bool:
 
 
 def _row_tile(m: int) -> int:
-    """Largest divisor of m that is a multiple of 8 and <= 512."""
+    """Largest divisor of m that is a multiple of 8 and <= ~512.
+
+    Tiles must be 8-divisible (TPU sublane rule). 1936's usable divisors
+    are {176, 968}; 968 OOMs scoped VMEM (double-buffered fp32 blocks), so
+    176 is the sweet spot for the 44x44 resolution.
+    """
     for tile in (512, 256, 176, 128, 88, 64, 32, 16, 8):
         if m % tile == 0:
             return tile
