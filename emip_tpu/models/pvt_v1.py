@@ -108,7 +108,8 @@ def _drop_path(x, rate, deterministic, module):
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jnp.floor(keep + jax.random.uniform(module.make_rng("droppath"),
                                                shape))
-    return x / keep * mask
+    return (x * (1.0 / keep).astype(x.dtype) if hasattr(keep, "astype")
+            else x / keep) * mask.astype(x.dtype)
 
 
 class PVTv1(nn.Module):

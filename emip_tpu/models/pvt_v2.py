@@ -78,7 +78,10 @@ def _drop_path(x, rate, deterministic, rng):
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jnp.floor(keep + jax_random_uniform(rng, shape))
-    return x / keep * mask
+    # keep activation dtype (a fp32 mask would promote bf16 activations
+    # and break the scan carry dtype)
+    return (x * (1.0 / keep).astype(x.dtype) if hasattr(keep, "astype")
+            else x / keep) * mask.astype(x.dtype)
 
 
 def jax_random_uniform(rng, shape):
