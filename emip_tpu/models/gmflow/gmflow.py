@@ -51,6 +51,7 @@ class GMFlowConfig:
     corr_radius_list: tuple[int, ...] = (-1,)
     prop_radius_list: tuple[int, ...] = (-1,)
     pred_bidir_flow: bool = True
+    use_fused_attn: bool = False  # fused Pallas window-attention layers
 
 
 def _add_position(feature0, feature1, attn_splits: int, channels: int):
@@ -84,6 +85,7 @@ class GMFlow(nn.Module):
             num_layers=cfg.num_transformer_layers,
             d_model=cfg.feature_channels,
             ffn_dim_expansion=cfg.ffn_dim_expansion,
+            use_fused_attn=cfg.use_fused_attn,
             dtype=self.dtype,
         )
         self.feature_flow_attn = FeatureFlowAttention(

@@ -89,30 +89,74 @@ def window_attention(
     return out
 
 
+class _ProjKernel(nn.Module):
+    """Bare [in, out] kernel under the standard ``<name>/kernel`` path
+    (weights feed the fused Pallas layer directly; checkpoint-compatible)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_features, self.features))
+
+
+class _LNParams(nn.Module):
+    """LayerNorm scale/bias params under the standard path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.features,)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class TransformerLayer(nn.Module):
     """One attention layer: Q from ``source``, K/V from ``target``.
 
     no_ffn=True for self-attention layers; cross-attention layers append a
     [source, message] MLP. (reference: transformer.py:108-211)
+
+    With ``use_fused_attn`` the projection+attention+merge+LayerNorm+residual
+    path runs as one Pallas kernel per (batch, window) grid cell
+    (:mod:`emip_tpu.ops.pallas.window_attention`); parameter layout is
+    identical either way.
     """
 
     d_model: int
     no_ffn: bool = False
     ffn_dim_expansion: int = 4
     with_shift: bool = False
+    use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, source, target, attn_num_splits: int = 1):
         c = self.d_model
         dense = lambda name: nn.Dense(c, use_bias=False, dtype=self.dtype, name=name)
-        q = dense("q_proj")(source)
-        k = dense("k_proj")(target)
-        v = dense("v_proj")(target)
 
-        message = window_attention(q, k, v, attn_num_splits, self.with_shift)
-        message = dense("merge")(message)
-        message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
+        if self.use_fused_attn and attn_num_splits > 1:
+            if self.no_ffn:
+                out = self._fused_attention(source, target, attn_num_splits,
+                                            add_residual=True)
+                if self.is_initializing():
+                    self._init_dead_adaptors(c)
+                return out
+            message = self._fused_attention(source, target, attn_num_splits,
+                                            add_residual=False)
+        else:
+            q = dense("q_proj")(source)
+            k = dense("k_proj")(target)
+            v = dense("v_proj")(target)
+
+            message = window_attention(q, k, v, attn_num_splits,
+                                       self.with_shift)
+            message = dense("merge")(message)
+            message = nn.LayerNorm(dtype=self.dtype, name="norm1")(message)
 
         if not self.no_ffn:
             cat = jnp.concatenate([source, message], axis=-1)
@@ -124,11 +168,55 @@ class TransformerLayer(nn.Module):
 
         # dead-but-checkpointed adaptor FCs (reference transformer.py:148-151)
         if self.is_initializing():
-            dummy = jnp.zeros((1, c), self.dtype)
-            hid = nn.Dense(c // 4, dtype=self.dtype, name="adaptor_fc1")(dummy)
-            nn.Dense(c, dtype=self.dtype, name="adaptor_fc2")(hid)
+            self._init_dead_adaptors(c)
 
         return source + message
+
+    def _init_dead_adaptors(self, c):
+        dummy = jnp.zeros((1, c), self.dtype)
+        hid = nn.Dense(c // 4, dtype=self.dtype, name="adaptor_fc1")(dummy)
+        nn.Dense(c, dtype=self.dtype, name="adaptor_fc2")(hid)
+
+    def _fused_attention(self, source, target, attn_num_splits: int,
+                         add_residual: bool = True):
+        """Fused-kernel path: LN(merge(attention)), optionally + source."""
+        from emip_tpu.ops.pallas.window_attention import (
+            fused_window_attention_layer,
+        )
+        from emip_tpu.ops.window import (
+            window_merge_tokens,
+            window_split_tokens,
+        )
+
+        c = self.d_model
+        b, h, w, _ = source.shape
+        k_sp = attn_num_splits
+        win_h, win_w = h // k_sp, w // k_sp
+
+        wq = _ProjKernel(c, c, name="q_proj")()
+        wk = _ProjKernel(c, c, name="k_proj")()
+        wv = _ProjKernel(c, c, name="v_proj")()
+        wm = _ProjKernel(c, c, name="merge")()
+        scale, bias = _LNParams(c, name="norm1")()
+
+        src, tgt = source, target
+        mask = None
+        if self.with_shift:
+            sh, sw = win_h // 2, win_w // 2
+            src = jnp.roll(src, shift=(-sh, -sw), axis=(1, 2))
+            tgt = jnp.roll(tgt, shift=(-sh, -sw), axis=(1, 2))
+            mask = shifted_window_mask(h, w, k_sp)
+
+        xw = window_split_tokens(src, k_sp)
+        tw = window_split_tokens(tgt, k_sp)
+        out_w = fused_window_attention_layer(
+            xw, tw, wq, wk, wv, wm, scale, bias, mask,
+            add_residual=add_residual,
+        )
+        out = window_merge_tokens(out_w, k_sp, h, w)
+        if self.with_shift:
+            out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        return out
 
 
 class TransformerBlock(nn.Module):
@@ -137,17 +225,20 @@ class TransformerBlock(nn.Module):
     d_model: int
     ffn_dim_expansion: int = 4
     with_shift: bool = False
+    use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, source, target, attn_num_splits: int = 1):
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
-            with_shift=self.with_shift, dtype=self.dtype, name="self_attn",
+            with_shift=self.with_shift, use_fused_attn=self.use_fused_attn,
+            dtype=self.dtype, name="self_attn",
         )(source, source, attn_num_splits)
         source = TransformerLayer(
             self.d_model, no_ffn=False, ffn_dim_expansion=self.ffn_dim_expansion,
-            with_shift=self.with_shift, dtype=self.dtype, name="cross_attn_ffn",
+            with_shift=self.with_shift, use_fused_attn=self.use_fused_attn,
+            dtype=self.dtype, name="cross_attn_ffn",
         )(source, target, attn_num_splits)
         return source
 
@@ -163,6 +254,7 @@ class FeatureTransformer(nn.Module):
     num_layers: int = 6
     d_model: int = 128
     ffn_dim_expansion: int = 4
+    use_fused_attn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -176,6 +268,7 @@ class FeatureTransformer(nn.Module):
                 self.d_model,
                 ffn_dim_expansion=self.ffn_dim_expansion,
                 with_shift=(i % 2 == 1),
+                use_fused_attn=self.use_fused_attn,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(concat0, concat1, attn_num_splits)

@@ -37,6 +37,25 @@ def window_merge(x: jnp.ndarray, num_splits: int) -> jnp.ndarray:
     return x.reshape(b, k * hs, k * ws, c)
 
 
+def window_split_tokens(x: jnp.ndarray, num_splits: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, K*K, T, C] window-token layout (row-major windows)."""
+    b, h, w, c = x.shape
+    k = num_splits
+    hs, ws = h // k, w // k
+    x = x.reshape(b, k, hs, k, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, k * k, hs * ws, c)
+
+
+def window_merge_tokens(x: jnp.ndarray, num_splits: int, h: int,
+                        w: int) -> jnp.ndarray:
+    """Inverse of :func:`window_split_tokens`."""
+    b, k2, t, c = x.shape
+    k = num_splits
+    hs, ws = h // k, w // k
+    x = x.reshape(b, k, k, hs, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
 @functools.lru_cache(maxsize=None)
 def _shifted_window_mask_np(h: int, w: int, num_splits: int) -> np.ndarray:
     """Additive attention mask [K*K, hw, hw] for shifted-window attention."""

@@ -75,3 +75,55 @@ def test_fused_flow_attention_grad():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_window_attention_layer_matches_xla_path():
+    """GMFlow transformer with the fused Pallas layer == the XLA path,
+    given identical parameters (both shifted and unshifted layers)."""
+    from emip_tpu.models.gmflow.transformer import FeatureTransformer
+
+    rng = np.random.default_rng(9)
+    f0 = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((2, 16, 16, 32)), jnp.float32)
+
+    plain = FeatureTransformer(num_layers=2, d_model=32, ffn_dim_expansion=2,
+                               use_fused_attn=False)
+    fused = FeatureTransformer(num_layers=2, d_model=32, ffn_dim_expansion=2,
+                               use_fused_attn=True)
+    variables = plain.init(jax.random.PRNGKey(0), f0, f1, attn_num_splits=2)
+    # identical param trees by construction
+    v2 = fused.init(jax.random.PRNGKey(0), f0, f1, attn_num_splits=2)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(v2)
+    assert t1 == t2, (t1, t2)
+
+    a0, a1 = plain.apply(variables, f0, f1, attn_num_splits=2)
+    b0, b1 = fused.apply(variables, f0, f1, attn_num_splits=2)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(b0),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(b1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_window_attention_grad_matches():
+    from emip_tpu.models.gmflow.transformer import FeatureTransformer
+
+    rng = np.random.default_rng(10)
+    f0 = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 8, 16)), jnp.float32)
+    plain = FeatureTransformer(num_layers=2, d_model=16, ffn_dim_expansion=2,
+                               use_fused_attn=False)
+    fused = FeatureTransformer(num_layers=2, d_model=16, ffn_dim_expansion=2,
+                               use_fused_attn=True)
+    variables = plain.init(jax.random.PRNGKey(0), f0, f1, attn_num_splits=2)
+
+    def loss(model, v):
+        a0, a1 = model.apply(v, f0, f1, attn_num_splits=2)
+        return jnp.sum(a0**2) + jnp.sum(a1**2)
+
+    g_plain = jax.grad(lambda v: loss(plain, v))(variables)
+    g_fused = jax.grad(lambda v: loss(fused, v))(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
