@@ -51,7 +51,7 @@ class GMFlowConfig:
     corr_radius_list: tuple[int, ...] = (-1,)
     prop_radius_list: tuple[int, ...] = (-1,)
     pred_bidir_flow: bool = True
-    use_fused_attn: bool = False  # fused Pallas window-attention layers
+    use_fused_attn: bool = True  # fused Pallas window-attention layers
 
 
 def _add_position(feature0, feature1, attn_splits: int, channels: int):
