@@ -18,15 +18,29 @@ __all__ = ["setup_logging", "ScalarLogger"]
 
 
 def setup_logging(save_path: str, filename: str = "train_log.log"):
+    """Attach a file handler to the project logger.
+
+    Note: ``logging.basicConfig`` would be a no-op here — importing jax
+    installs absl handlers on the root logger first — so the handler is
+    attached explicitly.
+    """
     os.makedirs(save_path, exist_ok=True)
-    logging.basicConfig(
-        filename=os.path.join(save_path, filename),
-        format="[%(asctime)s-%(filename)s-%(levelname)s:%(message)s]",
-        level=logging.INFO,
-        filemode="a",
-        datefmt="%Y-%m-%d %I:%M:%S %p",
+    logger = logging.getLogger("emip_tpu")
+    logger.setLevel(logging.INFO)
+    target = os.path.abspath(os.path.join(save_path, filename))
+    already = any(
+        isinstance(h, logging.FileHandler)
+        and getattr(h, "baseFilename", None) == target
+        for h in logger.handlers
     )
-    return logging.getLogger("emip_tpu")
+    if not already:
+        handler = logging.FileHandler(target, mode="a")
+        handler.setFormatter(logging.Formatter(
+            "[%(asctime)s-%(filename)s-%(levelname)s:%(message)s]",
+            datefmt="%Y-%m-%d %I:%M:%S %p",
+        ))
+        logger.addHandler(handler)
+    return logger
 
 
 class ScalarLogger:
