@@ -79,3 +79,33 @@ def test_clip_loader(synth_root):
     assert c["frames"].shape == (5, 64, 64, 3)
     assert c["masks"].shape == (5, 64, 64, 1)
     assert len(c["gts"]) == 5
+
+
+def test_flo_roundtrip(tmp_path):
+    from emip_tpu.data.flow_files import read_flo, write_flo
+
+    rng = np.random.default_rng(5)
+    flow = rng.standard_normal((12, 17, 2)).astype(np.float32)
+    path = str(tmp_path / "x.flo")
+    write_flo(path, flow)
+    back = read_flo(path)
+    np.testing.assert_array_equal(back, flow)
+
+
+def test_pair_flow_loader(synth_root, tmp_path):
+    import os
+
+    from emip_tpu.data.flow_files import PairFlowLoader, write_flo
+
+    # drop a .flo next to the first video's frames
+    flow_dir = os.path.join(synth_root, "video_00", "Flow")
+    os.makedirs(flow_dir, exist_ok=True)
+    write_flo(os.path.join(flow_dir, "00000.flo"),
+              np.zeros((96, 128, 2), np.float32))
+
+    loader = PairFlowLoader(synth_root, synth_root, size=64)
+    recs = list(loader)
+    assert len(recs) == 8
+    with_flow = [r for r in recs if "flow" in r]
+    assert len(with_flow) == 1
+    assert with_flow[0]["flow"].shape == (96, 128, 2)
