@@ -67,7 +67,7 @@ def build_short_state(cfg: Config, load_pretrained: bool = True):
 
 
 def validate_short(model, state, cfg: Config, max_items: int | None = None,
-                   eval_step=None):
+                   eval_step=None, batch_size: int = 8):
     """wFm / Sm / MAE / val-loss over the validation split.
 
     Post-processing parity with the reference (train.py:131-137): logits
@@ -76,6 +76,9 @@ def validate_short(model, state, cfg: Config, max_items: int | None = None,
 
     Pass a prebuilt ``eval_step`` to reuse the compiled forward across
     epochs (a fresh jit wrapper per call would recompile every time).
+    Pairs are batched through the device (the reference validated at bs=1;
+    per-call host round-trips dominate at that size on remote runtimes) —
+    metrics are per-frame so results are identical.
     """
     from emip_tpu.losses.seg import hybrid_e_loss
 
@@ -90,25 +93,43 @@ def validate_short(model, state, cfg: Config, max_items: int | None = None,
     )
     wfm, sm, mae = WeightedFmeasure(), Smeasure(), MAE()
     val_loss, n = 0.0, 0
-    for i, rec in enumerate(loader):
-        if max_items is not None and i >= max_items:
-            break
-        img1 = rec["image1"][None]
-        img2 = rec["image2"][None]
-        logits = np.asarray(eval_step(state, img1, img2), np.float32)[0]
-        val_loss += float(
-            hybrid_e_loss(logits[None], rec["gt_resized"][None])
-        )
-        n += 1
-        gt = rec["gt"]
-        up = resize_bilinear_np(logits[..., 0], gt.shape, align_corners=False)
-        pred = 1.0 / (1.0 + np.exp(-up))
-        pred = (pred - pred.min()) / (pred.max() - pred.min() + 1e-8)
-        # metrics re-normalize from the uint8 scale (reference protocol)
-        pred255 = pred * 255.0
-        wfm.step(pred255, gt)
-        sm.step(pred255, gt)
-        mae.step(pred255, gt)
+
+    def batches():
+        buf = []
+        for i, rec in enumerate(loader):
+            if max_items is not None and i >= max_items:
+                break
+            buf.append(rec)
+            if len(buf) == batch_size:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
+    for chunk in batches():
+        k = len(chunk)
+        img1 = np.stack([r["image1"] for r in chunk])
+        img2 = np.stack([r["image2"] for r in chunk])
+        if k < batch_size:  # pad to the compiled shape
+            pad = batch_size - k
+            img1 = np.concatenate([img1, img1[-1:].repeat(pad, 0)])
+            img2 = np.concatenate([img2, img2[-1:].repeat(pad, 0)])
+        logits_all = np.asarray(eval_step(state, img1, img2), np.float32)[:k]
+        for rec, logits in zip(chunk, logits_all):
+            val_loss += float(
+                hybrid_e_loss(logits[None], rec["gt_resized"][None])
+            )
+            n += 1
+            gt = rec["gt"]
+            up = resize_bilinear_np(logits[..., 0], gt.shape,
+                                    align_corners=False)
+            pred = 1.0 / (1.0 + np.exp(-up))
+            pred = (pred - pred.min()) / (pred.max() - pred.min() + 1e-8)
+            # metrics re-normalize from the uint8 scale (reference protocol)
+            pred255 = pred * 255.0
+            wfm.step(pred255, gt)
+            sm.step(pred255, gt)
+            mae.step(pred255, gt)
     return dict(
         wFm=float(wfm.get_results()["wfm"]),
         Sm=float(sm.get_results()["sm"]),
