@@ -145,7 +145,10 @@ def fused_flow_attention(q: jnp.ndarray, k: jnp.ndarray,
 def _flow_attention_fwd_impl(q, k, v):
     b, l, c = q.shape
     d = v.shape[-1]
-    tile = _row_tile(l)
+    # larger row tiles than softmax_expectation: the scores scratch here is
+    # single-buffered (computed in-kernel, not an input), so 968 rows
+    # (7.5MB fp32) fit scoped VMEM and quarter the grid-step count
+    tile = 968 if l % 968 == 0 else _row_tile(l)
     kernel = functools.partial(_flow_attention_kernel, scale=1.0 / (c**0.5))
     return pl.pallas_call(
         kernel,
