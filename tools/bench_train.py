@@ -26,6 +26,21 @@ SIZE = 352
 
 def main():
     config = EMIPShortConfig()
+    if os.environ.get("BENCH_TRAIN_REMAT", "1") == "0":
+        import dataclasses
+
+        from emip_tpu.models.backbones import register_backbone
+        from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS, PVTv2
+
+        cfg_noremat = dataclasses.replace(PVT_V2_VARIANTS["pvt_v2_b5"],
+                                          remat=False)
+        register_backbone(
+            "pvt_v2_b5_noremat",
+            lambda dtype: PVTv2(config=cfg_noremat, dtype=dtype),
+            cfg_noremat.embed_dims,
+        )
+        config = EMIPShortConfig(backbone_name="pvt_v2_b5_noremat")
+        print("# remat disabled")
     model = EMIPShort(config=config, dtype=jnp.bfloat16)
     img = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     variables = jax.jit(
