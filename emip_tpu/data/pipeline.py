@@ -170,6 +170,10 @@ class PairEvalLoader:
     metric computation at native size, mirroring the reference's
     test_dataset / eval_dataset protocols (dataset.py:157-293) minus their
     global-index-cycling statefulness (SURVEY.md §7.10).
+
+    ``use_native`` (or env EMIP_NATIVE_LOADER=1) routes frame decoding
+    through the C++ loader (emip_tpu/data/native.py) — threaded decode +
+    PIL-compatible resample; within 1/255 of the PIL default path.
     """
 
     def __init__(
@@ -181,7 +185,10 @@ class PairEvalLoader:
         with_gt: bool = True,
         num_workers: int = 8,
         prefetch: int = 8,
+        use_native: bool | None = None,
     ):
+        import os as _os
+
         self.items = scan_pairs(
             images_root, gts_root, dataset_type, require_gt=with_gt
         )
@@ -189,11 +196,35 @@ class PairEvalLoader:
         self.with_gt = with_gt
         self.num_workers = num_workers
         self.prefetch = prefetch
+        if use_native is None:
+            use_native = _os.environ.get("EMIP_NATIVE_LOADER") == "1"
+        if use_native:
+            from emip_tpu.data import native
+
+            use_native = native.available()
+        self.use_native = bool(use_native)
 
     def __len__(self):
         return len(self.items)
 
     def _load_one(self, item: PairItem):
+        if self.use_native:
+            from emip_tpu.data import native
+
+            orig_hw = native.image_size(item.image1)
+            rec = dict(
+                image1=native.load_image(item.image1, self.size),
+                image2=native.load_image(item.image2, self.size),
+                video=item.video,
+                frame_name=item.frame_name,
+                orig_hw=orig_hw,
+            )
+            if self.with_gt and item.gt is not None:
+                gt = _load_gray(item.gt)
+                rec["gt"] = np.asarray(gt, np.float32)
+                rec["gt_resized"] = _to_mask_array(gt, self.size)
+                rec["orig_hw"] = (gt.height, gt.width)
+            return rec
         img1 = _load_rgb(item.image1)
         orig_hw = (img1.height, img1.width)
         rec = dict(
