@@ -48,17 +48,26 @@ def global_correlation_softmax(
 
     grid = coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
 
-    if pred_bidir_flow:
-        correlation = jnp.concatenate([corr, jnp.swapaxes(corr, 1, 2)], axis=0)
-    else:
-        correlation = corr
-
     if use_pallas:
         from emip_tpu.ops.pallas import softmax_expectation
 
-        correspondence = softmax_expectation(correlation, grid)
+        # two kernel calls instead of softmax over a materialized
+        # [2B, HW, HW] concat: the fw pass reads corr directly and the bw
+        # pass reads its transpose — one fewer full-volume HBM round-trip
+        fw = softmax_expectation(corr, grid)
+        if pred_bidir_flow:
+            bw = softmax_expectation(jnp.swapaxes(corr, 1, 2), grid)
+            correspondence = jnp.concatenate([fw, bw], axis=0)
+        else:
+            correspondence = fw
         prob = None
     else:
+        if pred_bidir_flow:
+            correlation = jnp.concatenate(
+                [corr, jnp.swapaxes(corr, 1, 2)], axis=0
+            )
+        else:
+            correlation = corr
         prob = jax.nn.softmax(correlation, axis=-1)
         correspondence = jnp.einsum("bij,jk->bik", prob, grid)
     flow = (correspondence - grid[None]).reshape(-1, h, w, 2)
