@@ -342,7 +342,10 @@ class ClipLoader:
         num_workers: int = 8,
         shuffle: bool = False,
         seed: int = 123,
+        use_native: bool | None = None,
     ):
+        import os as _os
+
         self.clips = scan_clips(
             images_root, gts_root, dataset_type, require_gt=with_gt
         )
@@ -352,19 +355,34 @@ class ClipLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        if use_native is None:
+            use_native = _os.environ.get("EMIP_NATIVE_LOADER") == "1"
+        if use_native:
+            from emip_tpu.data import native
+
+            use_native = native.available()
+        self.use_native = bool(use_native)
 
     def __len__(self):
         return len(self.clips)
 
     def load_clip(self, clip: ClipItem):
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            frames = list(
-                pool.map(lambda p: _to_norm_array(_load_rgb(p), self.size),
-                         clip.frames)
-            )
+        if self.use_native:
+            from emip_tpu.data import native
+
+            frames_arr = native.load_batch(list(clip.frames), self.size,
+                                           num_threads=self.num_workers)
+        else:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                frames_arr = np.stack(list(
+                    pool.map(
+                        lambda p: _to_norm_array(_load_rgb(p), self.size),
+                        clip.frames,
+                    )
+                ))
         rec = dict(
             video=clip.video,
-            frames=np.stack(frames),  # [T, S, S, 3]
+            frames=frames_arr,  # [T, S, S, 3]
             frame_names=clip.frame_names,
         )
         if self.with_gt and clip.gts:
