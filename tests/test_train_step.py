@@ -84,6 +84,48 @@ def test_train_step_sharded_8dev(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_train_step_ddp_equivalence(setup):
+    """The 8-device data-parallel step must compute the same update as the
+    single-device step on the identical global batch — the actual DDP
+    all-reduce equivalence claim (reference train.py:279), not just a
+    finite loss."""
+    _, state, step = setup
+    batch = _make_batch(n=8, seed=7)
+    rng = jax.random.PRNGKey(3)
+
+    single_state, single_metrics = step(state, batch, rng)
+
+    mesh = make_mesh()
+    sharded_state, sharded_metrics = step(
+        state, shard_batch(batch, mesh), rng
+    )
+
+    np.testing.assert_allclose(
+        float(sharded_metrics["loss"]),
+        float(single_metrics["loss"]),
+        rtol=1e-5,
+    )
+    # Adam normalizes by sqrt(v)+eps, so a reduction-order difference of
+    # ~1e-7 in a near-zero gradient can flip that element's update sign —
+    # a ±2*lr (2e-3) param difference. Same noise floor as torch DDP vs
+    # single-GPU. Bound each element by 2.5x the learning rate.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(single_state.params),
+        jax.tree_util.tree_leaves(sharded_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-3
+        )
+    # BN stats are computed over the global batch either way (SyncBN)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(single_state.batch_stats),
+        jax.tree_util.tree_leaves(sharded_state.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )
+
+
 def test_cosine_epoch_lr_matches_torch_semantics():
     lr = cosine_epoch_lr(base_lr=1e-5, eta_min=1e-6, t_max=30)
     # epoch 1 trains at cosine step 1 (pre-step quirk)
