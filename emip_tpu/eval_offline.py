@@ -71,7 +71,9 @@ def _metric_value(name: str, results: dict) -> np.ndarray | float:
         return results["em"]["adp"] if name == "adpEm" else results["em"]["curve"]
     if name.endswith("Fm"):
         return results["fm"]["adp"] if name == "adpFm" else results["fm"]["curve"]
-    return results[name]  # Medical curves keyed directly
+    # Medical curves: meanSen/maxSen -> 'sen' etc.; mean-vs-max is applied
+    # after cross-sequence averaging in evaluate_dataset
+    return results[name.removeprefix("mean").removeprefix("max").lower()]
 
 
 def frame_exclusion(gt_list: list[str], dataset_name: str) -> list[str]:

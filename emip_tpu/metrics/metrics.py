@@ -391,12 +391,21 @@ class Medical:
         self.iou.append(iou)
 
     def get_results(self):
-        sen = np.mean(np.asarray(self.sen, np.float64), axis=0)
-        spe = np.mean(np.asarray(self.spe, np.float64), axis=0)
-        dice = np.mean(np.asarray(self.dice, np.float64), axis=0)
-        iou = np.mean(np.asarray(self.iou, np.float64), axis=0)
-        return dict(meanSen=sen, maxSen=sen, meanSpe=spe, maxSpe=spe,
-                    meanDice=dice, maxDice=dice, meanIoU=iou, maxIoU=iou)
+        """Frame-averaged 256-threshold curves, one per quantity.
+
+        Keys are the raw curve names; mean*/max* aggregation over a curve
+        is the *caller's* choice (mean vs max over thresholds, applied
+        after cross-sequence averaging — eval_offline.evaluate_dataset).
+        The reference returned the same curve under both mean* and max*
+        keys (eval/eval_vcod/metrics.py:458-465), a trap for any caller
+        that read e.g. ``maxSen`` expecting a scalar.
+        """
+        return dict(
+            sen=np.mean(np.asarray(self.sen, np.float64), axis=0),
+            spe=np.mean(np.asarray(self.spe, np.float64), axis=0),
+            dice=np.mean(np.asarray(self.dice, np.float64), axis=0),
+            iou=np.mean(np.asarray(self.iou, np.float64), axis=0),
+        )
 
 
 class IoU(_Streaming):

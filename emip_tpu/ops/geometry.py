@@ -55,14 +55,19 @@ def bilinear_sample(
     wy1 = y - y0
     wy0 = 1.0 - wy1
 
+    # single flattened axis-0 take: measurably faster than take_along_axis
+    # on TPU at 352^2 (4.4 vs 6.1 ms per corner at bs=8,
+    # tools/bench_gather_variants.py)
+    flat = img.reshape(n * h * w, c)
+    batch_off = (jnp.arange(n, dtype=jnp.int32) * (h * w)).reshape(
+        (n,) + (1,) * (coords.ndim - 2)
+    )
+
     def gather(ix, iy):
         ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        flat = img.reshape(n, h * w, c)
         idx = iyc * w + ixc  # [N, H', W']
-        out = jnp.take_along_axis(
-            flat, idx.reshape(n, -1, 1), axis=1
-        ).reshape(*idx.shape, c)
+        out = jnp.take(flat, idx + batch_off, axis=0)
         if padding_mode == "zeros":
             valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
             out = out * valid[..., None].astype(out.dtype)

@@ -16,9 +16,12 @@ value matrix, so only the [B, M, D] result (D = 2 for flow) ever touches
 HBM. At train batch 6 this removes ~360MB of HBM traffic per step from the
 propagation attention alone.
 
-Both ops carry a custom VJP whose backward recomputes the probabilities
-with plain XLA ops (memory profile equal to the unfused baseline, but only
-during backward), so the kernels are usable in training too.
+Both ops carry a custom VJP whose backward is itself a Pallas kernel
+(flash-attention style): probabilities are recomputed per row-tile in VMEM
+and contracted immediately, so the [B, M, N] probability/score tensors
+never touch HBM in backward either. Value/key gradients accumulate across
+row-tiles in a VMEM-resident output block (the TPU grid is sequential, so
+revisited output blocks act as accumulators).
 
 On non-TPU backends the kernels run in interpreter mode (tests exercise the
 same code path on CPU).
@@ -100,18 +103,67 @@ def _softmax_expectation_fwd(corr, values):
     return out, (corr, values, out)
 
 
+def _softmax_expectation_bwd_kernel(corr_ref, values_ref, g_ref, out_ref,
+                                    dcorr_ref, dvalues_ref):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    logits = corr_ref[0].astype(jnp.float32)  # [TILE_M, N]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    g = g_ref[0].astype(jnp.float32)      # [TILE_M, D]
+    vals = values_ref[:].astype(jnp.float32)  # [N, D]
+    gv = jax.lax.dot_general(             # g @ vals^T -> [TILE_M, N]
+        g, vals, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inner = jnp.sum(g * out_ref[0], axis=-1, keepdims=True)
+    dcorr_ref[0] = (p * (gv - inner)).astype(dcorr_ref.dtype)
+
+    contrib = jax.lax.dot_general(        # p^T @ g -> [N, D]
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first)
+    def _():
+        dvalues_ref[:] = jnp.zeros_like(dvalues_ref)
+
+    dvalues_ref[:] += contrib
+
+
 def _softmax_expectation_bwd(res, g):
     corr, values, out = res
-    # recompute probs with XLA (backward-only memory, like the baseline)
-    p = jax.nn.softmax(corr.astype(jnp.float32), axis=-1)
-    gv = jnp.einsum("bmd,nd->bmn", g.astype(jnp.float32),
-                    values.astype(jnp.float32))
-    inner = jnp.sum(g.astype(jnp.float32) * out, axis=-1, keepdims=True)
-    d_corr = (p * (gv - inner)).astype(corr.dtype)
-    d_values = jnp.einsum("bmn,bmd->nd", p, g.astype(jnp.float32)).astype(
-        values.dtype
-    )
-    return d_corr, d_values
+    b, m, n = corr.shape
+    d = values.shape[-1]
+    tile = _row_tile(m)
+    dcorr, dvalues = pl.pallas_call(
+        _softmax_expectation_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(corr.shape, corr.dtype),
+            jax.ShapeDtypeStruct((n, d), jnp.float32),
+        ),
+        grid=(b, m // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, n), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, d), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(corr, values, g, out)
+    return dcorr, dvalues.astype(values.dtype)
 
 
 softmax_expectation.defvjp(_softmax_expectation_fwd, _softmax_expectation_bwd)
@@ -173,24 +225,88 @@ def _flow_attention_fwd(q, k, v):
     return out, (q, k, v, out)
 
 
+def _flow_attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref, out_ref,
+                               dq_ref, dk_ref, dv_ref, *, scale):
+    first_tile = pl.program_id(1) == 0
+
+    q = q_ref[0].astype(jnp.float32)  # [TILE_M, C]
+    k = k_ref[0].astype(jnp.float32)  # [L, C]
+    scores = jax.lax.dot_general(     # q @ k^T
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # [TILE_M, L]
+
+    g = g_ref[0].astype(jnp.float32)  # [TILE_M, D]
+    v = v_ref[0].astype(jnp.float32)  # [L, D]
+    gv = jax.lax.dot_general(         # g @ v^T -> [TILE_M, L]
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    inner = jnp.sum(g * out_ref[0], axis=-1, keepdims=True)
+    ds = p * (gv - inner)             # [TILE_M, L]
+
+    dq_ref[0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                 * scale).astype(dq_ref.dtype)
+    dk_contrib = jax.lax.dot_general(  # ds^T @ q -> [L, C]
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dv_contrib = jax.lax.dot_general(  # p^T @ g -> [L, D]
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first_tile)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_contrib.astype(dk_ref.dtype)
+    dv_ref[0] += dv_contrib.astype(dv_ref.dtype)
+
+
 def _flow_attention_bwd(res, g):
     q, k, v, out = res
-    c = q.shape[-1]
-    scale = 1.0 / (c**0.5)
-    scores = jnp.einsum(
-        "blc,bmc->blm", q.astype(jnp.float32), k.astype(jnp.float32)
-    ) * scale
-    p = jax.nn.softmax(scores, axis=-1)
-    g32 = g.astype(jnp.float32)
-    gv = jnp.einsum("bld,bmd->blm", g32, v.astype(jnp.float32))
-    inner = jnp.sum(g32 * out, axis=-1, keepdims=True)
-    d_scores = p * (gv - inner)
-    dq = (jnp.einsum("blm,bmc->blc", d_scores, k.astype(jnp.float32))
-          * scale).astype(q.dtype)
-    dk = (jnp.einsum("blm,blc->bmc", d_scores, q.astype(jnp.float32))
-          * scale).astype(k.dtype)
-    dv = jnp.einsum("blm,bld->bmd", p, g32).astype(v.dtype)
-    return dq, dk, dv
+    b, l, c = q.shape
+    d = v.shape[-1]
+    # backward holds ~4 [tile, L] tensors in VMEM — use the small tile
+    tile = _row_tile(l)
+    kernel = functools.partial(_flow_attention_bwd_kernel,
+                               scale=1.0 / (c**0.5))
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, l, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, l, d), jnp.float32),
+        ),
+        grid=(b, l // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, g, out)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 fused_flow_attention.defvjp(_flow_attention_fwd, _flow_attention_bwd)

@@ -13,9 +13,13 @@ overhead dominates at this size. This kernel runs the whole path per
     out = msg                (message variant, feeds the cross-layer FFN)
 
 Inputs are pre-split windows [B, K2, T, C] (one reshape outside; the
-shifted-window roll also stays outside). The backward pass recomputes with
-plain XLA ops via custom_vjp, so the kernel is train-safe. On non-TPU
-backends it runs in interpreter mode (tests cover it on CPU).
+shifted-window roll also stays outside). The backward pass is a second
+Pallas kernel over the same (batch, window) grid: it recomputes the
+forward per window in VMEM and emits input grads per cell plus weight/LN
+grads accumulated across the grid in VMEM-resident output blocks — no
+per-window probability tensor ever reaches HBM in either direction. On
+non-TPU backends both kernels run in interpreter mode (tests cover them
+on CPU).
 """
 
 from __future__ import annotations
@@ -28,9 +32,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention_layer"]
+__all__ = ["fused_window_attention_layer", "fused_window_attention_ffn_layer"]
 
 _EPS = 1e-6  # flax LayerNorm default epsilon
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _gelu_exact(u):
+    return 0.5 * u * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+
+
+def _gelu_grad(u):
+    phi = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
+    return 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2)) + u * phi
 
 
 def _xla_reference(x, t, wq, wk, wv, wm, scale, bias, mask, add_residual):
@@ -119,6 +134,178 @@ def _forward_pallas(x, t, wq, wk, wv, wm, scale, bias, mask, add_residual):
     )(x, t, wq, wk, wv, wm, scale, bias, mask)
 
 
+def _bwd_kernel(x_ref, t_ref, wq_ref, wk_ref, wv_ref, wm_ref, scale_ref,
+                bias_ref, mask_ref, gout_ref,
+                gx_ref, gt_ref, gwq_ref, gwk_ref, gwv_ref, gwm_ref,
+                gscale_ref, gbias_ref, *, inv_sqrt_c, with_mask,
+                add_residual):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    x = x_ref[0, 0].astype(jnp.float32)  # [T, C]
+    t = t_ref[0, 0].astype(jnp.float32)
+    wq = wq_ref[:].astype(jnp.float32)
+    wk = wk_ref[:].astype(jnp.float32)
+    wv = wv_ref[:].astype(jnp.float32)
+    wm = wm_ref[:].astype(jnp.float32)
+
+    # --- recompute forward in VMEM (fp32) ---
+    q = jnp.dot(x, wq, preferred_element_type=jnp.float32)
+    k = jnp.dot(t, wk, preferred_element_type=jnp.float32)
+    v = jnp.dot(t, wv, preferred_element_type=jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+    if with_mask:
+        scores = scores + mask_ref[0]
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - smax)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [T, T]
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m = jnp.dot(o, wm, preferred_element_type=jnp.float32)
+    mu = jnp.mean(m, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(m - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _EPS)
+    xhat = (m - mu) * inv  # [T, C]
+
+    # --- backward ---
+    gmsg = gout_ref[0, 0].astype(jnp.float32)  # grad reaches msg directly
+    gscale_c = jnp.sum(gmsg * xhat, axis=0)
+    gbias_c = jnp.sum(gmsg, axis=0)
+
+    gxhat = gmsg * scale_ref[:]
+    dm = inv * (
+        gxhat
+        - jnp.mean(gxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(gxhat * xhat, axis=-1, keepdims=True)
+    )
+
+    go = jax.lax.dot_general(  # dm @ wm^T
+        dm, wm, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwm_c = jax.lax.dot_general(  # o^T @ dm
+        o, dm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    gp = jax.lax.dot_general(  # go @ v^T -> [T, T]
+        go, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gv = jax.lax.dot_general(  # p^T @ go -> [T, C]
+        p, go, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (gp - jnp.sum(gp * p, axis=-1, keepdims=True))
+
+    gq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * inv_sqrt_c
+    gk = jax.lax.dot_general(  # ds^T @ q
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+
+    gx = jax.lax.dot_general(  # gq @ wq^T
+        gq, wq, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if add_residual:
+        gx = gx + gout_ref[0, 0].astype(jnp.float32)
+    gt = (
+        jax.lax.dot_general(gk, wk,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(gv, wv,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    gx_ref[0, 0] = gx.astype(gx_ref.dtype)
+    gt_ref[0, 0] = gt.astype(gt_ref.dtype)
+
+    gwq_c = jax.lax.dot_general(  # x^T @ gq
+        x, gq, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwk_c = jax.lax.dot_general(
+        t, gk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwv_c = jax.lax.dot_general(
+        t, gv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first)
+    def _():
+        gwq_ref[:] = jnp.zeros_like(gwq_ref)
+        gwk_ref[:] = jnp.zeros_like(gwk_ref)
+        gwv_ref[:] = jnp.zeros_like(gwv_ref)
+        gwm_ref[:] = jnp.zeros_like(gwm_ref)
+        gscale_ref[:] = jnp.zeros_like(gscale_ref)
+        gbias_ref[:] = jnp.zeros_like(gbias_ref)
+
+    gwq_ref[:] += gwq_c
+    gwk_ref[:] += gwk_c
+    gwv_ref[:] += gwv_c
+    gwm_ref[:] += gwm_c
+    gscale_ref[:] += gscale_c
+    gbias_ref[:] += gbias_c
+
+
+def _backward_pallas(x, t, wq, wk, wv, wm, scale, bias, mask, gout,
+                     add_residual):
+    b, k2, tok, c = x.shape
+    with_mask = mask.shape[-1] == tok
+
+    kernel = functools.partial(
+        _bwd_kernel, inv_sqrt_c=1.0 / (c**0.5), with_mask=with_mask,
+        add_residual=add_residual,
+    )
+    win_spec = pl.BlockSpec((1, 1, tok, c), lambda i, j: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((c, c), lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((c,), lambda i, j: (0,),
+                            memory_space=pltpu.VMEM)
+    if with_mask:
+        mask_spec = pl.BlockSpec((1, tok, tok), lambda i, j: (j, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    gx, gt, gwq, gwk, gwv, gwm, gscale, gbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(t.shape, t.dtype),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c, c), jnp.float32),
+            jax.ShapeDtypeStruct((c,), jnp.float32),
+            jax.ShapeDtypeStruct((c,), jnp.float32),
+        ),
+        grid=(b, k2),
+        in_specs=[win_spec, win_spec, w_spec, w_spec, w_spec, w_spec,
+                  vec_spec, vec_spec, mask_spec, win_spec],
+        out_specs=(win_spec, win_spec, w_spec, w_spec, w_spec, w_spec,
+                   vec_spec, vec_spec),
+        interpret=jax.default_backend() != "tpu",
+    )(x, t, wq, wk, wv, wm, scale, bias, mask, gout)
+    return (
+        gx,
+        gt,
+        gwq.astype(wq.dtype),
+        gwk.astype(wk.dtype),
+        gwv.astype(wv.dtype),
+        gwm.astype(wm.dtype),
+        gscale.astype(scale.dtype),
+        gbias.astype(bias.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
 def _make_fused(add_residual: bool):
     @jax.custom_vjp
     def fused(x, t, wq, wk, wv, wm, scale, bias, mask):
@@ -132,14 +319,8 @@ def _make_fused(add_residual: bool):
 
     def bwd(res, g):
         x, t, wq, wk, wv, wm, scale, bias, mask = res
-        has_mask = mask.ndim == 3 and mask.shape[-1] == x.shape[2]
-
-        def ref(x, t, wq, wk, wv, wm, scale, bias, mask):
-            return _xla_reference(x, t, wq, wk, wv, wm, scale, bias,
-                                  mask if has_mask else None, add_residual)
-
-        _, vjp = jax.vjp(ref, x, t, wq, wk, wv, wm, scale, bias, mask)
-        return vjp(g)
+        return _backward_pallas(x, t, wq, wk, wv, wm, scale, bias, mask, g,
+                                add_residual)
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -167,3 +348,345 @@ def fused_window_attention_layer(
     fn = _FUSED_RESIDUAL if add_residual else _FUSED_MESSAGE
     return fn(x, t, wq, wk, wv, wm, scale.astype(jnp.float32),
               bias.astype(jnp.float32), mask.astype(jnp.float32))
+
+
+# ------------------------------------------------------------------
+# cross-attention + FFN layer: the full TransformerLayer (no_ffn=False)
+# forward (reference transformer.py:153-211) in one kernel per window:
+#   msg = LN1((softmax(x Wq (t Wk)^T / sqrt(C) + mask) t Wv) Wm)
+#   out = x + LN2(W2 gelu(W0 [x, msg]))
+# ------------------------------------------------------------------
+
+
+def _attention_message(x, t, wq_ref, wk_ref, wv_ref, wm_ref, s1_ref, b1_ref,
+                       mask_ref, *, inv_sqrt_c, with_mask):
+    """Shared fp32 forward recompute: returns (p, o, m, inv1, xhat1, msg)."""
+    q = jnp.dot(x, wq_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    k = jnp.dot(t, wk_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    v = jnp.dot(t, wv_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+    if with_mask:
+        scores = scores + mask_ref[0]
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - smax)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m = jnp.dot(o, wm_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    mu1 = jnp.mean(m, axis=-1, keepdims=True)
+    var1 = jnp.mean(jnp.square(m - mu1), axis=-1, keepdims=True)
+    inv1 = jax.lax.rsqrt(var1 + _EPS)
+    xhat1 = (m - mu1) * inv1
+    msg = xhat1 * s1_ref[:] + b1_ref[:]
+    return q, k, v, p, o, inv1, xhat1, msg
+
+
+def _ffn_kernel(x_ref, t_ref, wq_ref, wk_ref, wv_ref, wm_ref, s1_ref, b1_ref,
+                w0a_ref, w0b_ref, w2_ref, s2_ref, b2_ref, mask_ref, out_ref,
+                *, inv_sqrt_c, with_mask):
+    x = x_ref[0, 0].astype(jnp.float32)
+    t = t_ref[0, 0].astype(jnp.float32)
+    *_, msg = _attention_message(
+        x, t, wq_ref, wk_ref, wv_ref, wm_ref, s1_ref, b1_ref, mask_ref,
+        inv_sqrt_c=inv_sqrt_c, with_mask=with_mask,
+    )
+    u = (
+        jnp.dot(x, w0a_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+        + jnp.dot(msg, w0b_ref[:].astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    )
+    y = _gelu_exact(u)
+    z = jnp.dot(y, w2_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    mu2 = jnp.mean(z, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(z - mu2), axis=-1, keepdims=True)
+    xhat2 = (z - mu2) * jax.lax.rsqrt(var2 + _EPS)
+    out_ref[0, 0] = (x + xhat2 * s2_ref[:] + b2_ref[:]).astype(out_ref.dtype)
+
+
+def _ffn_bwd_kernel(x_ref, t_ref, wq_ref, wk_ref, wv_ref, wm_ref, s1_ref,
+                    b1_ref, w0a_ref, w0b_ref, w2_ref, s2_ref, b2_ref,
+                    mask_ref, gout_ref,
+                    gx_ref, gt_ref, gwq_ref, gwk_ref, gwv_ref, gwm_ref,
+                    gs1_ref, gb1_ref, gw0a_ref, gw0b_ref, gw2_ref, gs2_ref,
+                    gb2_ref, *, inv_sqrt_c, with_mask):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    x = x_ref[0, 0].astype(jnp.float32)
+    t = t_ref[0, 0].astype(jnp.float32)
+    q, k, v, p, o, inv1, xhat1, msg = _attention_message(
+        x, t, wq_ref, wk_ref, wv_ref, wm_ref, s1_ref, b1_ref, mask_ref,
+        inv_sqrt_c=inv_sqrt_c, with_mask=with_mask,
+    )
+    w0a = w0a_ref[:].astype(jnp.float32)
+    w0b = w0b_ref[:].astype(jnp.float32)
+    w2 = w2_ref[:].astype(jnp.float32)
+    u = (jnp.dot(x, w0a, preferred_element_type=jnp.float32)
+         + jnp.dot(msg, w0b, preferred_element_type=jnp.float32))
+    y = _gelu_exact(u)
+    z = jnp.dot(y, w2, preferred_element_type=jnp.float32)
+    mu2 = jnp.mean(z, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(z - mu2), axis=-1, keepdims=True)
+    inv2 = jax.lax.rsqrt(var2 + _EPS)
+    xhat2 = (z - mu2) * inv2
+
+    g = gout_ref[0, 0].astype(jnp.float32)
+
+    # LN2 backward
+    gs2_c = jnp.sum(g * xhat2, axis=0)
+    gb2_c = jnp.sum(g, axis=0)
+    gxh2 = g * s2_ref[:]
+    gz = inv2 * (
+        gxh2
+        - jnp.mean(gxh2, axis=-1, keepdims=True)
+        - xhat2 * jnp.mean(gxh2 * xhat2, axis=-1, keepdims=True)
+    )
+
+    # FFN backward
+    gw2_c = jax.lax.dot_general(
+        y, gz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gy = jax.lax.dot_general(
+        gz, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gu = gy * _gelu_grad(u)
+    gw0a_c = jax.lax.dot_general(
+        x, gu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gw0b_c = jax.lax.dot_general(
+        msg, gu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gx_ffn = jax.lax.dot_general(
+        gu, w0a, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gmsg = jax.lax.dot_general(
+        gu, w0b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # LN1 backward
+    gs1_c = jnp.sum(gmsg * xhat1, axis=0)
+    gb1_c = jnp.sum(gmsg, axis=0)
+    gxh1 = gmsg * s1_ref[:]
+    dm = inv1 * (
+        gxh1
+        - jnp.mean(gxh1, axis=-1, keepdims=True)
+        - xhat1 * jnp.mean(gxh1 * xhat1, axis=-1, keepdims=True)
+    )
+
+    # attention backward (same as _bwd_kernel)
+    wm = wm_ref[:].astype(jnp.float32)
+    go = jax.lax.dot_general(
+        dm, wm, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwm_c = jax.lax.dot_general(
+        o, dm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gp = jax.lax.dot_general(
+        go, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gv = jax.lax.dot_general(
+        p, go, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (gp - jnp.sum(gp * p, axis=-1, keepdims=True))
+    gq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * inv_sqrt_c
+    gk = jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+
+    wq = wq_ref[:].astype(jnp.float32)
+    wk = wk_ref[:].astype(jnp.float32)
+    wv = wv_ref[:].astype(jnp.float32)
+    gx = g + gx_ffn + jax.lax.dot_general(
+        gq, wq, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gt = (
+        jax.lax.dot_general(gk, wk,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(gv, wv,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    gx_ref[0, 0] = gx.astype(gx_ref.dtype)
+    gt_ref[0, 0] = gt.astype(gt_ref.dtype)
+
+    gwq_c = jax.lax.dot_general(
+        x, gq, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwk_c = jax.lax.dot_general(
+        t, gk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwv_c = jax.lax.dot_general(
+        t, gv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(first)
+    def _():
+        for ref in (gwq_ref, gwk_ref, gwv_ref, gwm_ref, gs1_ref, gb1_ref,
+                    gw0a_ref, gw0b_ref, gw2_ref, gs2_ref, gb2_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    gwq_ref[:] += gwq_c
+    gwk_ref[:] += gwk_c
+    gwv_ref[:] += gwv_c
+    gwm_ref[:] += gwm_c
+    gs1_ref[:] += gs1_c
+    gb1_ref[:] += gb1_c
+    gw0a_ref[:] += gw0a_c
+    gw0b_ref[:] += gw0b_c
+    gw2_ref[:] += gw2_c
+    gs2_ref[:] += gs2_c
+    gb2_ref[:] += gb2_c
+
+
+def _ffn_specs(x, t, w0a, w2, mask):
+    b, k2, tok, c = x.shape
+    f = w0a.shape[-1]
+    with_mask = mask.shape[-1] == tok
+    win = pl.BlockSpec((1, 1, tok, c), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wcc = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    wcf = pl.BlockSpec((c, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    wfc = pl.BlockSpec((f, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    if with_mask:
+        msk = pl.BlockSpec((1, tok, tok), lambda i, j: (j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    else:
+        msk = pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [win, win, wcc, wcc, wcc, wcc, vec, vec, wcf, wcf, wfc, vec,
+                vec, msk]
+    return with_mask, in_specs, dict(win=win, wcc=wcc, wcf=wcf, wfc=wfc,
+                                     vec=vec)
+
+
+def _ffn_forward_pallas(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2,
+                        mask):
+    b, k2, tok, c = x.shape
+    with_mask, in_specs, _ = _ffn_specs(x, t, w0a, w2, mask)
+    kernel = functools.partial(_ffn_kernel, inv_sqrt_c=1.0 / (c**0.5),
+                               with_mask=with_mask)
+    win = in_specs[0]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, k2),
+        in_specs=in_specs,
+        out_specs=win,
+        interpret=jax.default_backend() != "tpu",
+    )(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask)
+
+
+def _ffn_backward_pallas(res, gout):
+    x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask = res
+    b, k2, tok, c = x.shape
+    f = w0a.shape[-1]
+    with_mask, in_specs, sp = _ffn_specs(x, t, w0a, w2, mask)
+    kernel = functools.partial(_ffn_bwd_kernel, inv_sqrt_c=1.0 / (c**0.5),
+                               with_mask=with_mask)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(t.shape, t.dtype),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c, f), f32),
+            jax.ShapeDtypeStruct((c, f), f32),
+            jax.ShapeDtypeStruct((f, c), f32),
+            jax.ShapeDtypeStruct((c,), f32),
+            jax.ShapeDtypeStruct((c,), f32),
+        ),
+        grid=(b, k2),
+        in_specs=in_specs + [sp["win"]],
+        out_specs=(sp["win"], sp["win"], sp["wcc"], sp["wcc"], sp["wcc"],
+                   sp["wcc"], sp["vec"], sp["vec"], sp["wcf"], sp["wcf"],
+                   sp["wfc"], sp["vec"], sp["vec"]),
+        interpret=jax.default_backend() != "tpu",
+    )(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask, gout)
+    gx, gt = outs[0], outs[1]
+    (gwq, gwk, gwv, gwm, gs1, gb1, gw0a, gw0b, gw2, gs2, gb2) = outs[2:]
+    return (gx, gt,
+            gwq.astype(wq.dtype), gwk.astype(wk.dtype),
+            gwv.astype(wv.dtype), gwm.astype(wm.dtype),
+            gs1.astype(s1.dtype), gb1.astype(b1.dtype),
+            gw0a.astype(w0a.dtype), gw0b.astype(w0b.dtype),
+            gw2.astype(w2.dtype), gs2.astype(s2.dtype),
+            gb2.astype(b2.dtype), jnp.zeros_like(mask))
+
+
+@jax.custom_vjp
+def _fused_ffn(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask):
+    return _ffn_forward_pallas(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2,
+                               s2, b2, mask)
+
+
+def _fused_ffn_fwd(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask):
+    out = _ffn_forward_pallas(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2,
+                              s2, b2, mask)
+    return out, (x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask)
+
+
+_fused_ffn.defvjp(_fused_ffn_fwd, lambda res, g: _ffn_backward_pallas(res, g))
+
+
+def fused_window_attention_ffn_layer(
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    wq: jnp.ndarray,
+    wk: jnp.ndarray,
+    wv: jnp.ndarray,
+    wm: jnp.ndarray,
+    scale1: jnp.ndarray,
+    bias1: jnp.ndarray,
+    w0: jnp.ndarray,
+    w2: jnp.ndarray,
+    scale2: jnp.ndarray,
+    bias2: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Full cross-attention + concat-FFN TransformerLayer per window.
+
+    x, t: [B, K2, T, C] pre-split windows; w0: [2C, F] (split internally
+    into the x- and msg- halves); w2: [F, C]; mask: [K2, T, T] or None.
+    Returns x + LN2(FFN([x, LN1(attn)])) — the reference layer's output
+    (transformer.py:153-211) with zero intermediate HBM traffic.
+    """
+    c = x.shape[-1]
+    if mask is None:
+        mask = jnp.zeros((1, 1, 1), jnp.float32)
+    return _fused_ffn(
+        x, t, wq, wk, wv, wm,
+        scale1.astype(jnp.float32), bias1.astype(jnp.float32),
+        w0[:c], w0[c:], w2,
+        scale2.astype(jnp.float32), bias2.astype(jnp.float32),
+        mask.astype(jnp.float32),
+    )

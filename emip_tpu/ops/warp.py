@@ -6,12 +6,19 @@ the loss path uses different padding conventions ('border' for photometric
 reconstruction) and a forward-splat density estimate for occlusion.
 
 The forward splat (``get_corresponding_map`` in the reference, a
-``scatter_add_`` bilinear splat) becomes a single ``.at[].add`` scatter on a
-flattened spatial axis — XLA lowers this to a TPU scatter; shapes stay static.
+``scatter_add_`` bilinear splat) is reformulated as a *triangle-kernel
+matmul*: density = sum_q a(q)^T b(q) where a[q, h] = max(0, 1-|y_q - h|)
+and b[q, w] = max(0, 1-|x_q - w|) are the bilinear hat weights against the
+integer rows/columns. Per-corner validity/clipping falls out for free (hat
+weights vanish outside the grid). A TPU scatter over 4M indices took
+26.9 ms at 352^2/bs=8; the chunked matmul runs in ~1 ms on the MXU
+(tools/bench_gather_variants.py).
 """
 
 from __future__ import annotations
 
+import jax
+import jax.lax as lax
 import jax.numpy as jnp
 
 from emip_tpu.ops.geometry import bilinear_sample, coords_grid
@@ -36,33 +43,47 @@ def flow_warp_loss(
     return bilinear_sample(x, grid, padding_mode=pad)
 
 
+def _splat_chunk_rows(h: int, target: int = 44) -> int:
+    """Largest divisor of ``h`` that is <= target (source rows per chunk)."""
+    for r in range(min(target, h), 0, -1):
+        if h % r == 0:
+            return r
+    return h
+
+
 def forward_splat_density(coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear forward-splat a unit mass at each target coordinate.
 
     ``coords`` is [N, H, W, 2] of unnormalized (x, y) targets; the result is
     the [N, H, W] density of how much mass lands on each pixel. Out-of-range
-    corner contributions are dropped (reference: loss/warp_utils.py:26-80).
+    corner contributions are dropped (reference: loss/warp_utils.py:26-80 —
+    the hat weights are zero outside [0, W-1] x [0, H-1], so the matmul
+    reformulation reproduces the reference's in-range masking exactly).
+
+    Precision.HIGHEST keeps the MXU accumulation within ~1e-6 of true fp32
+    (the density feeds a 0.2 threshold; single-pass bf16's ~1e-2 error
+    could flip borderline occlusion pixels).
     """
     n, h, w, _ = coords.shape
-    x = coords[..., 0].reshape(n, -1)
-    y = coords[..., 1].reshape(n, -1)
+    rows = _splat_chunk_rows(h)
+    x = jnp.moveaxis(coords[..., 0].reshape(n, h // rows, rows * w), 1, 0)
+    y = jnp.moveaxis(coords[..., 1].reshape(n, h // rows, rows * w), 1, 0)
+    row_pos = jnp.arange(h, dtype=jnp.float32)
+    col_pos = jnp.arange(w, dtype=jnp.float32)
 
-    x_lo = jnp.floor(x)
-    y_lo = jnp.floor(y)
-    x_hi = x_lo + 1.0
-    y_hi = y_lo + 1.0
-
-    density = jnp.zeros((n, h * w), dtype=jnp.float32)
-    for cx, cy in ((x_hi, y_hi), (x_hi, y_lo), (x_lo, y_hi), (x_lo, y_lo)):
-        in_range = (cx >= 0) & (cx <= w - 1) & (cy >= 0) & (cy <= h - 1)
-        weight = (1.0 - jnp.abs(x - cx)) * (1.0 - jnp.abs(y - cy))
-        weight = jnp.where(in_range, weight, 0.0)
-        idx = (
-            jnp.clip(cy, 0, h - 1).astype(jnp.int32) * w
-            + jnp.clip(cx, 0, w - 1).astype(jnp.int32)
+    def body(acc, xy):
+        xc, yc = xy  # [n, q]
+        a = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - row_pos))
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(xc[..., None] - col_pos))
+        acc = acc + jnp.einsum(
+            "nqh,nqw->nhw", a, b,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
-        density = density.at[jnp.arange(n)[:, None], idx].add(weight)
-    return density.reshape(n, h, w)
+        return acc, None
+
+    density, _ = lax.scan(body, jnp.zeros((n, h, w), jnp.float32), (x, y))
+    return density
 
 
 def occlusion_mask_backward(flow21: jnp.ndarray, th: float = 0.2) -> jnp.ndarray:
