@@ -34,7 +34,8 @@ from emip_tpu.models.gmflow.transformer import (
 )
 from emip_tpu.ops.geometry import flow_warp
 from emip_tpu.ops.position import sine_position_embedding
-from emip_tpu.ops.upsample import convex_upsample, upsample_flow_bilinear
+from emip_tpu.ops.pallas.convex_upsample import convex_upsample_pallas
+from emip_tpu.ops.upsample import upsample_flow_bilinear
 from emip_tpu.ops.window import window_merge, window_split
 
 Dtype = Any
@@ -190,7 +191,7 @@ class GMFlow(nn.Module):
             if scale_idx == cfg.num_scales - 1:
                 mask = self._upsample_mask(flow, feature0)
                 flow_preds.append(
-                    convex_upsample(flow, mask, factor=cfg.upsample_factor)
+                    convex_upsample_pallas(flow, mask, cfg.upsample_factor)
                 )
 
         flow_fw = [jnp.split(f, 2, axis=0)[0] for f in flow_preds]

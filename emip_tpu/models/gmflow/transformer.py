@@ -140,14 +140,12 @@ class TransformerLayer(nn.Module):
         dense = lambda name: nn.Dense(c, use_bias=False, dtype=self.dtype, name=name)
 
         if self.use_fused_attn and attn_num_splits > 1:
-            if self.no_ffn:
-                out = self._fused_attention(source, target, attn_num_splits,
-                                            add_residual=True)
-                if self.is_initializing():
-                    self._init_dead_adaptors(c)
-                return out
-            message = self._fused_attention(source, target, attn_num_splits,
-                                            add_residual=False)
+            out = self._fused_attention(source, target, attn_num_splits,
+                                        add_residual=self.no_ffn,
+                                        with_ffn=not self.no_ffn)
+            if self.is_initializing():
+                self._init_dead_adaptors(c)
+            return out
         else:
             q = dense("q_proj")(source)
             k = dense("k_proj")(target)
@@ -178,9 +176,15 @@ class TransformerLayer(nn.Module):
         nn.Dense(c, dtype=self.dtype, name="adaptor_fc2")(hid)
 
     def _fused_attention(self, source, target, attn_num_splits: int,
-                         add_residual: bool = True):
-        """Fused-kernel path: LN(merge(attention)), optionally + source."""
+                         add_residual: bool = True, with_ffn: bool = False):
+        """Fused-kernel path.
+
+        with_ffn=False: LN1(merge(attention)), optionally + source.
+        with_ffn=True: the whole cross-attention layer incl. the concat-FFN
+        and second LayerNorm (one kernel per window).
+        """
         from emip_tpu.ops.pallas.window_attention import (
+            fused_window_attention_ffn_layer,
             fused_window_attention_layer,
         )
         from emip_tpu.ops.window import (
@@ -209,10 +213,20 @@ class TransformerLayer(nn.Module):
 
         xw = window_split_tokens(src, k_sp)
         tw = window_split_tokens(tgt, k_sp)
-        out_w = fused_window_attention_layer(
-            xw, tw, wq, wk, wv, wm, scale, bias, mask,
-            add_residual=add_residual,
-        )
+        if with_ffn:
+            f = 2 * c * self.ffn_dim_expansion
+            w0 = _ProjKernel(2 * c, f, name="mlp0")()
+            w2 = _ProjKernel(f, c, name="mlp2")()
+            scale2, bias2 = _LNParams(c, name="norm2")()
+            out_w = fused_window_attention_ffn_layer(
+                xw, tw, wq, wk, wv, wm, scale, bias, w0, w2, scale2, bias2,
+                mask,
+            )
+        else:
+            out_w = fused_window_attention_layer(
+                xw, tw, wq, wk, wv, wm, scale, bias, mask,
+                add_residual=add_residual,
+            )
         out = window_merge_tokens(out_w, k_sp, h, w)
         if self.with_shift:
             out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))

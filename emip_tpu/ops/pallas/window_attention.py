@@ -39,13 +39,29 @@ _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7).
+
+    Mosaic has no erf lowering (jax.lax.erf raises NotImplementedError in
+    Pallas TPU kernels); this uses only exp, which lowers fine.
+    """
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_exact(u):
-    return 0.5 * u * (1.0 + jax.lax.erf(u * _INV_SQRT2))
+    return 0.5 * u * (1.0 + _erf(u * _INV_SQRT2))
 
 
 def _gelu_grad(u):
     phi = jnp.exp(-0.5 * u * u) * _INV_SQRT_2PI
-    return 0.5 * (1.0 + jax.lax.erf(u * _INV_SQRT2)) + u * phi
+    return 0.5 * (1.0 + _erf(u * _INV_SQRT2)) + u * phi
 
 
 def _xla_reference(x, t, wq, wk, wv, wm, scale, bias, mask, add_residual):

@@ -22,6 +22,7 @@ from typing import Callable
 import jax
 import numpy as np
 
+from emip_tpu.data.manifest import frames_subdir
 from emip_tpu.data.pipeline import ClipLoader
 from emip_tpu.losses.seg import hybrid_e_loss
 from emip_tpu.metrics import MAE, Smeasure, WeightedFmeasure
@@ -156,9 +157,11 @@ def validate_long(model, state, cfg: Config, max_items: int | None = None,
         dataset_type=ds.dataset_type,
     )
     sm, wfm, mae = Smeasure(), WeightedFmeasure(), MAE()
+    n_clips = 0
     for ci, clip in enumerate(loader):
         if max_items is not None and ci >= max_items:
             break
+        n_clips += 1
         frames, gts = clip["frames"], clip["gts"]
         mem = model.init_memory(1)
         for t in range(1, len(frames)):
@@ -170,6 +173,15 @@ def validate_long(model, state, cfg: Config, max_items: int | None = None,
             pred = (pred - pred.min()) / (pred.max() - pred.min() + 1e-8)
             for m in (sm, wfm, mae):
                 m.step(pred * 255.0, gt)
+    if n_clips == 0:
+        # empty split (e.g. wrong frames-subdir layout for the dataset_type)
+        # — surface it instead of silently averaging to NaN
+        log.warning(
+            "validate_long: 0 clips under %s (dataset_type=%s expects a "
+            "'%s' frames subdir); skipping metrics",
+            ds.image_path, ds.dataset_type, frames_subdir(ds.dataset_type),
+        )
+        return {}
     return dict(
         Sm=float(sm.get_results()["sm"]),
         wFm=float(wfm.get_results()["wfm"]),
@@ -233,7 +245,7 @@ def train_long(cfg: Config, short_variables: dict | None = None,
                     {f"val_long_cad/{k}": v for k, v in cad.items()}, epoch
                 )
                 log.info("[Val-long-CAD] epoch %d %s", epoch, cad)
-            if metrics["Sm"] > best_sm:
+            if metrics.get("Sm", float("-inf")) > best_sm:
                 best_sm, best_epoch = metrics["Sm"], epoch
                 save_checkpoint(best_dir, state, epoch, max_to_keep=1)
 

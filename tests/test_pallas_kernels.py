@@ -127,3 +127,31 @@ def test_fused_window_attention_grad_matches():
                     jax.tree_util.tree_leaves(g_fused)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+def test_convex_upsample_pallas_matches_xla():
+    from emip_tpu.ops.pallas.convex_upsample import (
+        _xla_reference,
+        convex_upsample_pallas,
+    )
+
+    rng = np.random.default_rng(11)
+    flow = jnp.asarray(rng.standard_normal((2, 6, 4, 2)), jnp.float32)
+    mask = jnp.asarray(rng.standard_normal((2, 6, 4, 9 * 16)), jnp.float32)
+    got = convex_upsample_pallas(flow, mask, 4)
+    want = _xla_reference(flow, mask, 4)
+    assert got.shape == (2, 24, 16, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(f, m):
+        return jnp.sum(convex_upsample_pallas(f, m, 4) ** 2)
+
+    def loss_ref(f, m):
+        return jnp.sum(_xla_reference(f, m, 4) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1))(flow, mask)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(flow, mask)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

@@ -93,6 +93,32 @@ def main():
     )
 
     @jax.jit
+    def position_only(f):
+        from emip_tpu.models.gmflow.gmflow import _add_position
+
+        a, b = _add_position(f, f + 0.01, 2, C)
+        s = jnp.mean(a).astype(jnp.bfloat16)
+        return f + jnp.tanh(s) * 1e-6, s
+
+    timings["sine position add"] = chain_time(position_only, feat2b)
+
+    @jax.jit
+    def upsample_only(v, f):
+        from emip_tpu.ops.upsample import convex_upsample
+
+        mask = model.apply(
+            v, flow2b, f,
+            method=lambda m, fl, x: m._upsample_mask(fl, x),
+        )
+        up = convex_upsample(flow2b, mask, factor=8)
+        s = jnp.mean(up).astype(jnp.bfloat16)
+        return f + jnp.tanh(s) * 1e-6, s
+
+    timings["upsampler convs + convex upsample"] = chain_time(
+        lambda x: upsample_only(variables, x), feat2b
+    )
+
+    @jax.jit
     def full_engine(v, f):
         fw, bw, corr = model.apply(v, [f], [f + 0.01], False)
         s = jnp.mean(fw[0]).astype(jnp.bfloat16)
