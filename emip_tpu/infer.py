@@ -55,12 +55,27 @@ def predict_pairs(
     dataset_type: str = "MoCA",
     batch_size: int = 8,
     return_flow: bool = False,
+    mesh=None,
 ):
     """Run the short-term model over all frame pairs; save per-video PNGs.
 
     When ``return_flow`` is set, also yields (video, name, flow_fw) for the
     flow-visualization entry point.
+
+    With a ``mesh`` (or automatically when >1 device is visible), batches
+    are sharded along the mesh's 'data' axis so prediction dumping uses
+    every chip — the DistributedSampler equivalent for inference.
     """
+    if mesh is None and len(jax.devices()) > 1:
+        from emip_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if mesh is not None:
+        from emip_tpu.parallel.mesh import shard_batch
+
+        ndata = mesh.shape["data"]
+        batch_size = ((batch_size + ndata - 1) // ndata) * ndata
+
     variables = {
         "params": merge_params(state.params, state.frozen),
         "batch_stats": state.batch_stats,
@@ -86,6 +101,8 @@ def predict_pairs(
                 pad = batch_size - n
                 img1 = np.concatenate([img1, img1[-1:].repeat(pad, 0)])
                 img2 = np.concatenate([img2, img2[-1:].repeat(pad, 0)])
+            if mesh is not None:
+                img1, img2 = shard_batch((img1, img2), mesh)
             masks, flows = forward(variables, img1, img2)
             masks = np.asarray(masks, np.float32)[:n, ..., 0]
             jobs = []

@@ -40,6 +40,14 @@ def bilinear_sample(
 
     Matches torch.grid_sample bilinear with align_corners=True after
     unnormalizing: x_pix in [0, W-1], y_pix in [0, H-1].
+
+    TPU formulation: ONE flattened gather of 4C-channel "corner-packed"
+    rows instead of four per-corner gathers — the packed image holds each
+    pixel's (y,x), (y,x+1), (y+1,x), (y+1,x+1) values side by side, so a
+    single take at the clamped base corner fetches all four bilinear taps.
+    Measured 7.3 vs 17.5 ms at 352^2/bs=8/C=3 (/tmp/warp_packed.py).
+    Per-corner weights are re-derived against the base so border clamping
+    (and zeros-mode validity) stays exact.
     """
     n, h, w, c = img.shape
     x = coords[..., 0].astype(jnp.float32)
@@ -47,37 +55,60 @@ def bilinear_sample(
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-
     wx1 = x - x0
     wx0 = 1.0 - wx1
     wy1 = y - y0
     wy0 = 1.0 - wy1
 
-    # single flattened axis-0 take: measurably faster than take_along_axis
-    # on TPU at 352^2 (4.4 vs 6.1 ms per corner at bs=8,
-    # tools/bench_gather_variants.py)
-    flat = img.reshape(n * h * w, c)
+    # corner-packed image: [..., 4C] = (y,x), (y,x+1), (y+1,x), (y+1,x+1),
+    # edge-replicated so base-corner clamping keeps slots in range.
+    # Channel count padded to a multiple of 4C+4: a 12-lane gather produced
+    # tail-tile garbage on TPU (last batch/row elements read -inf).
+    xs = jnp.concatenate(
+        [img, jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)],
+        axis=-1,
+    )
+    packed = jnp.concatenate(
+        [xs, jnp.concatenate([xs[:, 1:], xs[:, -1:]], axis=1)], axis=-1
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, 4)))
+    flat = packed.reshape(n * h * w, 4 * c + 4)
+
+    bx = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
+    by = jnp.clip(y0, 0, h - 2).astype(jnp.int32)
     batch_off = (jnp.arange(n, dtype=jnp.int32) * (h * w)).reshape(
         (n,) + (1,) * (coords.ndim - 2)
     )
+    got = jnp.take(flat, by * w + bx + batch_off, axis=0)  # [..., 4C+4]
 
-    def gather(ix, iy):
-        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
-        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
-        idx = iyc * w + ixc  # [N, H', W']
-        out = jnp.take(flat, idx + batch_off, axis=0)
-        if padding_mode == "zeros":
-            valid = (ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1)
-            out = out * valid[..., None].astype(out.dtype)
-        return out
+    x0r = x0.astype(jnp.int32)  # raw (unclamped) corner indices
+    y0r = y0.astype(jnp.int32)
+    if padding_mode == "zeros":
+        inx0 = (x0 >= 0) & (x0 <= w - 1)
+        inx1 = (x0 + 1 >= 0) & (x0 + 1 <= w - 1)
+        iny0 = (y0 >= 0) & (y0 <= h - 1)
+        iny1 = (y0 + 1 >= 0) & (y0 + 1 <= h - 1)
+        wcol0 = wx0 * (inx0 & (x0r == bx)) + wx1 * (inx1 & (x0r + 1 == bx))
+        wcol1 = (wx0 * (inx0 & (x0r == bx + 1))
+                 + wx1 * (inx1 & (x0r + 1 == bx + 1)))
+        wrow0 = wy0 * (iny0 & (y0r == by)) + wy1 * (iny1 & (y0r + 1 == by))
+        wrow1 = (wy0 * (iny0 & (y0r == by + 1))
+                 + wy1 * (iny1 & (y0r + 1 == by + 1)))
+    else:  # border: weight goes to whichever slot the corner clamps onto
+        x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        x1i = jnp.clip(x0 + 1, 0, w - 1).astype(jnp.int32)
+        y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        y1i = jnp.clip(y0 + 1, 0, h - 1).astype(jnp.int32)
+        wcol0 = wx0 * (x0i == bx) + wx1 * (x1i == bx)
+        wcol1 = wx0 * (x0i == bx + 1) + wx1 * (x1i == bx + 1)
+        wrow0 = wy0 * (y0i == by) + wy1 * (y1i == by)
+        wrow1 = wy0 * (y0i == by + 1) + wy1 * (y1i == by + 1)
 
     out = (
-        gather(x0, y0) * (wx0 * wy0)[..., None]
-        + gather(x1, y0) * (wx1 * wy0)[..., None]
-        + gather(x0, y1) * (wx0 * wy1)[..., None]
-        + gather(x1, y1) * (wx1 * wy1)[..., None]
+        got[..., 0:c] * (wrow0 * wcol0)[..., None]
+        + got[..., c : 2 * c] * (wrow0 * wcol1)[..., None]
+        + got[..., 2 * c : 3 * c] * (wrow1 * wcol0)[..., None]
+        + got[..., 3 * c : 4 * c] * (wrow1 * wcol1)[..., None]
     )
     return out.astype(img.dtype)
 

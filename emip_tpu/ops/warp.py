@@ -17,8 +17,6 @@ weights vanish outside the grid). A TPU scatter over 4M indices took
 
 from __future__ import annotations
 
-import jax
-import jax.lax as lax
 import jax.numpy as jnp
 
 from emip_tpu.ops.geometry import bilinear_sample, coords_grid
@@ -43,14 +41,6 @@ def flow_warp_loss(
     return bilinear_sample(x, grid, padding_mode=pad)
 
 
-def _splat_chunk_rows(h: int, target: int = 44) -> int:
-    """Largest divisor of ``h`` that is <= target (source rows per chunk)."""
-    for r in range(min(target, h), 0, -1):
-        if h % r == 0:
-            return r
-    return h
-
-
 def forward_splat_density(coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear forward-splat a unit mass at each target coordinate.
 
@@ -59,31 +49,10 @@ def forward_splat_density(coords: jnp.ndarray) -> jnp.ndarray:
     corner contributions are dropped (reference: loss/warp_utils.py:26-80 —
     the hat weights are zero outside [0, W-1] x [0, H-1], so the matmul
     reformulation reproduces the reference's in-range masking exactly).
-
-    Precision.HIGHEST keeps the MXU accumulation within ~1e-6 of true fp32
-    (the density feeds a 0.2 threshold; single-pass bf16's ~1e-2 error
-    could flip borderline occlusion pixels).
     """
-    n, h, w, _ = coords.shape
-    rows = _splat_chunk_rows(h)
-    x = jnp.moveaxis(coords[..., 0].reshape(n, h // rows, rows * w), 1, 0)
-    y = jnp.moveaxis(coords[..., 1].reshape(n, h // rows, rows * w), 1, 0)
-    row_pos = jnp.arange(h, dtype=jnp.float32)
-    col_pos = jnp.arange(w, dtype=jnp.float32)
+    from emip_tpu.ops.pallas.splat import splat_density_pallas
 
-    def body(acc, xy):
-        xc, yc = xy  # [n, q]
-        a = jnp.maximum(0.0, 1.0 - jnp.abs(yc[..., None] - row_pos))
-        b = jnp.maximum(0.0, 1.0 - jnp.abs(xc[..., None] - col_pos))
-        acc = acc + jnp.einsum(
-            "nqh,nqw->nhw", a, b,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        return acc, None
-
-    density, _ = lax.scan(body, jnp.zeros((n, h, w), jnp.float32), (x, y))
-    return density
+    return splat_density_pallas(coords)
 
 
 def occlusion_mask_backward(flow21: jnp.ndarray, th: float = 0.2) -> jnp.ndarray:

@@ -32,6 +32,14 @@ from emip_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from emip_tpu.utils.config import Config, snapshot_config
 from emip_tpu.utils.logging import ScalarLogger, setup_logging
 
+
+@jax.jit
+def _val_loss_per_frame(logits, gts):
+    """Per-frame hybrid-E losses for a batch, one device program."""
+    from emip_tpu.losses.seg import hybrid_e_loss
+
+    return jax.vmap(lambda a, b: hybrid_e_loss(a[None], b[None]))(logits, gts)
+
 __all__ = ["build_short_state", "train_short", "validate_short"]
 
 log = logging.getLogger("emip_tpu")
@@ -67,7 +75,7 @@ def build_short_state(cfg: Config, load_pretrained: bool = True):
 
 
 def validate_short(model, state, cfg: Config, max_items: int | None = None,
-                   eval_step=None, batch_size: int = 8):
+                   eval_step=None, batch_size: int = 8, mesh=None):
     """wFm / Sm / MAE / val-loss over the validation split.
 
     Post-processing parity with the reference (train.py:131-137): logits
@@ -79,11 +87,17 @@ def validate_short(model, state, cfg: Config, max_items: int | None = None,
     Pairs are batched through the device (the reference validated at bs=1;
     per-call host round-trips dominate at that size on remote runtimes) —
     metrics are per-frame so results are identical.
-    """
-    from emip_tpu.losses.seg import hybrid_e_loss
 
+    With a ``mesh``, eval batches are sharded along 'data' so validation
+    uses every chip (the reference shards val via DistributedSampler,
+    dataset/dataset.py:137-146); batch_size is rounded up to a multiple
+    of the data-axis size.
+    """
     if eval_step is None:
         eval_step = make_short_eval_step(model)
+    if mesh is not None:
+        ndata = mesh.shape["data"]
+        batch_size = ((batch_size + ndata - 1) // ndata) * ndata
     loader = PairEvalLoader(
         cfg.val_dataset.image_path,
         cfg.val_dataset.gt_path,
@@ -114,12 +128,18 @@ def validate_short(model, state, cfg: Config, max_items: int | None = None,
             pad = batch_size - k
             img1 = np.concatenate([img1, img1[-1:].repeat(pad, 0)])
             img2 = np.concatenate([img2, img2[-1:].repeat(pad, 0)])
-        logits_all = np.asarray(eval_step(state, img1, img2), np.float32)[:k]
+        if mesh is not None:
+            img1, img2 = shard_batch((img1, img2), mesh)
+        logits_dev = eval_step(state, img1, img2)
+        logits_all = np.asarray(logits_dev, np.float32)[:k]
+        # one batched device program for the whole chunk's val loss
+        # (was one un-jitted per-frame hybrid_e_loss call each — hundreds
+        # of tiny device programs per validation pass)
+        gts = np.stack([r["gt_resized"] for r in chunk])
+        losses = np.asarray(_val_loss_per_frame(logits_all, gts))
+        val_loss += float(losses.sum())
+        n += k
         for rec, logits in zip(chunk, logits_all):
-            val_loss += float(
-                hybrid_e_loss(logits[None], rec["gt_resized"][None])
-            )
-            n += 1
             gt = rec["gt"]
             up = resize_bilinear_np(logits[..., 0], gt.shape,
                                     align_corners=False)
@@ -181,7 +201,8 @@ def train_short(cfg: Config, resume: bool = False,
         state = state.set_learning_rate(lr)
         scalars.scalar("learning_rate", lr, epoch)
 
-        epoch_loss, epoch_steps = 0.0, 0
+        # device-side accumulation: no host sync until epoch end
+        epoch_loss, epoch_steps = None, 0
         t_epoch = time.perf_counter()
         try:
             for i, batch in enumerate(loader, start=1):
@@ -193,9 +214,12 @@ def train_short(cfg: Config, resume: bool = False,
                 )
                 global_step += 1
                 epoch_steps += 1
+                epoch_loss = (
+                    metrics["loss"] if epoch_loss is None
+                    else epoch_loss + metrics["loss"]
+                )
                 if i % 20 == 0 or i == 1:
                     m = {k: float(v) for k, v in metrics.items()}
-                    epoch_loss += m["loss"]
                     log.info(
                         "[Train] epoch %d step %d loss %.4f pred %.4f flow %.4f",
                         epoch, i, m["loss"], m["loss_pred"], m["loss_flow"],
@@ -214,12 +238,17 @@ def train_short(cfg: Config, resume: bool = False,
             scalars.scalar(
                 "time/steps_per_s", epoch_steps / dt, epoch
             )
+            # per-epoch mean loss (reference train.py:84), one host sync
+            scalars.scalar(
+                "loss/epoch_mean", float(epoch_loss) / epoch_steps, epoch
+            )
 
         if cfg.epoch_save and epoch % cfg.epoch_save == 0:
             save_checkpoint(ckpt_dir, state, epoch)
 
         if cfg.epoch_val and epoch % cfg.epoch_val == 0:
-            metrics = validate_short(model, state, cfg, eval_step=eval_step)
+            metrics = validate_short(model, state, cfg, eval_step=eval_step,
+                                     mesh=mesh)
             scalars.scalars({f"val/{k}": v for k, v in metrics.items()}, epoch)
             log.info("[Val] epoch %d %s", epoch, metrics)
             if metrics["MAE"] < best_mae:

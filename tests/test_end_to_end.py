@@ -86,3 +86,24 @@ def test_predict_dump_and_offline_eval(trained, synth, tmp_path):
         assert np.isfinite(scores[key])
     assert 0 <= scores["MAE"] <= 1
     assert 0 <= scores["Smeasure"] <= 1
+
+
+def test_sharded_validation_matches_single_device(trained, synth):
+    """validate_short over the 8-device mesh == single-device results
+    (the DistributedSampler-equivalent claim for evaluation)."""
+    from types import SimpleNamespace
+
+    from emip_tpu.parallel.mesh import make_mesh
+    from emip_tpu.train.loops import validate_short
+
+    model, state, _ = trained
+    cfg = SimpleNamespace(val_dataset=SimpleNamespace(
+        image_path=synth, gt_path=synth, inp_size=SIZE, dataset_type="MoCA",
+    ))
+
+    single = validate_short(model, state, cfg, max_items=6)
+    sharded = validate_short(model, state, cfg, max_items=6,
+                             mesh=make_mesh())
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], rtol=1e-4,
+                                   atol=1e-6, err_msg=k)
