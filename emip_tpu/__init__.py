@@ -12,3 +12,30 @@ data parallelism, and Pallas kernels for the hot fused ops.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt out: EMIP_TPU_NO_COMP_CACHE=1).
+
+    Remote compiles over the experimental TPU tunnel cost minutes per
+    program; the persistent cache turns repeat runs of any entry point,
+    tool, or test into sub-second loads (measured 127s -> 0.8s for a
+    trivial jit). Set before any computation is traced; harmless on CPU.
+    """
+    import os
+
+    if os.environ.get("EMIP_TPU_NO_COMP_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                              os.path.expanduser("~/.cache/jaxcomp"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # pragma: no cover - old jax or read-only fs
+        pass
+
+
+_enable_compilation_cache()
