@@ -21,17 +21,29 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
 
 
 def instance_norm(x: jnp.ndarray, epsilon: float = 1e-5) -> jnp.ndarray:
-    """Per-sample, per-channel normalization over spatial dims (no affine)."""
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=(1, 2), keepdims=True)
-    return ((x32 - mu) / jnp.sqrt(var + epsilon)).astype(x.dtype)
+    """Per-sample, per-channel normalization over spatial dims (no affine).
+
+    Stats accumulate in fp32 *inside* the reductions (``dtype=``/``where``
+    fusion) instead of materializing an fp32 copy of the activation first —
+    the copy forced every subsequent pass to run at 2x the bytes and
+    dominated the GMFlow encoder's runtime (tools/profile_encoder.py).
+    """
+    mu = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    # E[(x-mu)^2] with the subtraction fused into the reduction pass; the
+    # bf16->fp32 cast happens per-element on the fly.
+    var = jnp.mean(
+        jnp.square(x.astype(jnp.float32) - mu), axis=(1, 2), keepdims=True
+    )
+    inv = jax.lax.rsqrt(var + epsilon)
+    # normalize in the storage dtype: (x - mu) * inv with fp32 scalars
+    return ((x.astype(jnp.float32) - mu) * inv).astype(x.dtype)
 
 
 class ResidualBlock(nn.Module):

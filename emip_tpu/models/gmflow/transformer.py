@@ -233,8 +233,51 @@ class TransformerLayer(nn.Module):
         return out
 
 
+class _LayerParams(nn.Module):
+    """Parameter-only twin of ``TransformerLayer`` (same names/paths).
+
+    Used by the fused-block path so the whole block's weights can be handed
+    to one Pallas kernel while the checkpoint layout stays byte-identical
+    to the unfused modules.
+    """
+
+    d_model: int
+    with_ffn: bool = False
+    ffn_dim_expansion: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        c = self.d_model
+        out = dict(
+            wq=_ProjKernel(c, c, name="q_proj")(),
+            wk=_ProjKernel(c, c, name="k_proj")(),
+            wv=_ProjKernel(c, c, name="v_proj")(),
+            wm=_ProjKernel(c, c, name="merge")(),
+        )
+        out["s1"], out["b1"] = _LNParams(c, name="norm1")()
+        if self.with_ffn:
+            f = 2 * c * self.ffn_dim_expansion
+            out["w0"] = _ProjKernel(2 * c, f, name="mlp0")()
+            out["w2"] = _ProjKernel(f, c, name="mlp2")()
+            out["s2"], out["b2"] = _LNParams(c, name="norm2")()
+        if self.is_initializing():
+            # dead-but-checkpointed adaptor FCs (transformer.py:148-151)
+            dummy = jnp.zeros((1, c), self.dtype)
+            hid = nn.Dense(c // 4, dtype=self.dtype, name="adaptor_fc1")(dummy)
+            nn.Dense(c, dtype=self.dtype, name="adaptor_fc2")(hid)
+        return out
+
+
 class TransformerBlock(nn.Module):
-    """Self-attention (no FFN) + cross-attention (with FFN)."""
+    """Self-attention (no FFN) + cross-attention (with FFN).
+
+    With ``use_fused_attn`` the whole block (both layers) runs as ONE
+    Pallas kernel per (batch, window) grid cell
+    (:func:`emip_tpu.ops.pallas.window_attention.fused_window_attention_block`)
+    — per-cell sequencing overhead dominates at 484-token windows, so
+    halving the invocation count beats two per-layer kernels.
+    """
 
     d_model: int
     ffn_dim_expansion: int = 4
@@ -244,6 +287,8 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, source, target, attn_num_splits: int = 1):
+        if self.use_fused_attn and attn_num_splits > 1:
+            return self._fused_block(source, target, attn_num_splits)
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,
             with_shift=self.with_shift, use_fused_attn=self.use_fused_attn,
@@ -255,6 +300,44 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype, name="cross_attn_ffn",
         )(source, target, attn_num_splits)
         return source
+
+    def _fused_block(self, source, target, attn_num_splits: int):
+        from emip_tpu.ops.pallas.window_attention import (
+            fused_window_attention_block,
+        )
+        from emip_tpu.ops.window import (
+            window_merge_tokens,
+            window_split_tokens,
+        )
+
+        c = self.d_model
+        b, h, w, _ = source.shape
+        k_sp = attn_num_splits
+        win_h, win_w = h // k_sp, w // k_sp
+
+        p_self = _LayerParams(c, with_ffn=False, dtype=self.dtype,
+                              name="self_attn")()
+        p_cross = _LayerParams(c, with_ffn=True,
+                               ffn_dim_expansion=self.ffn_dim_expansion,
+                               dtype=self.dtype, name="cross_attn_ffn")()
+
+        src, tgt = source, target
+        mask = None
+        if self.with_shift:
+            sh, sw = win_h // 2, win_w // 2
+            src = jnp.roll(src, shift=(-sh, -sw), axis=(1, 2))
+            tgt = jnp.roll(tgt, shift=(-sh, -sw), axis=(1, 2))
+            mask = shifted_window_mask(h, w, k_sp)
+
+        out_w = fused_window_attention_block(
+            window_split_tokens(src, k_sp),
+            window_split_tokens(tgt, k_sp),
+            p_self, p_cross, mask,
+        )
+        out = window_merge_tokens(out_w, k_sp, h, w)
+        if self.with_shift:
+            out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        return out
 
 
 class FeatureTransformer(nn.Module):

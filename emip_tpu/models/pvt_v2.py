@@ -45,6 +45,13 @@ class PVTv2Config:
     drop_path_rate: float = 0.1
     linear: bool = False
     remat: bool = True
+    # None = full remat (recompute everything in backward); "dots" = save
+    # matmul/conv outputs, recompute only elementwise (norms/gelu/softmax) —
+    # cuts the recompute FLOPs at a modest activation-memory cost.
+    remat_policy: str | None = None
+    # lax.scan unroll factor for the per-stage block scan (>1 lets XLA fuse
+    # across block boundaries at the cost of program size / compile time)
+    scan_unroll: int = 1
 
 
 # named variants mirroring the reference zoo (lib/pvt_v2.py:341-401)
@@ -260,7 +267,9 @@ class PVTv2(nn.Module):
         dpr = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
         cur = 0
         outs = []
-        for i in range(4):
+        # range over configured stages (not a hard 4) so truncated configs
+        # (per-stage profiling) work
+        for i in range(len(cfg.depths)):
             x = OverlapPatchEmbed(
                 patch_size=7 if i == 0 else 3,
                 stride=4 if i == 0 else 2,
@@ -271,12 +280,21 @@ class PVTv2(nn.Module):
 
             block_cls = PVTBlock
             if cfg.remat:
+                import jax
+
+                policy = None
+                if cfg.remat_policy == "dots":
+                    policy = (jax.checkpoint_policies
+                              .dots_with_no_batch_dims_saveable)
+                elif cfg.remat_policy is not None:
+                    policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
                 # static_argnums counts the module instance at index 0:
                 # (module, x, drop_path_rate, deterministic)
                 block_cls = nn.remat(
                     PVTBlock,
                     static_argnums=(3,),
                     prevent_cse=False,
+                    policy=policy,
                 )
             StageScan = nn.scan(
                 block_cls,
@@ -284,6 +302,7 @@ class PVTv2(nn.Module):
                 split_rngs={"params": True, "droppath": True, "dropout": True},
                 in_axes=(0, nn.broadcast),
                 length=cfg.depths[i],
+                unroll=cfg.scan_unroll,
             )
             rates = jnp.asarray(dpr[cur : cur + cfg.depths[i]], jnp.float32)
             cur += cfg.depths[i]

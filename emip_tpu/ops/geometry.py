@@ -45,9 +45,16 @@ def bilinear_sample(
     rows instead of four per-corner gathers — the packed image holds each
     pixel's (y,x), (y,x+1), (y+1,x), (y+1,x+1) values side by side, so a
     single take at the clamped base corner fetches all four bilinear taps.
-    Measured 7.3 vs 17.5 ms at 352^2/bs=8/C=3 (/tmp/warp_packed.py).
     Per-corner weights are re-derived against the base so border clamping
     (and zeros-mode validity) stays exact.
+
+    Measured dead end (do not redo): gathering from a *leaf* [Q, 8] fp32
+    table is ~8x faster than 16 lanes (tools/bench_gather_layouts.py), but
+    splitting this gather into two 8-lane takes of computed tables is
+    SLOWER in-graph (12.7 vs 7.2 ms, tools/bench_warp_variants.py) — XLA
+    lays computed tables out 128-lane padded, so per-row fetch cost is the
+    tile, not the lanes; optimization_barrier does not recover the leaf
+    layout (9.7 ms).
     """
     n, h, w, c = img.shape
     x = coords[..., 0].astype(jnp.float32)

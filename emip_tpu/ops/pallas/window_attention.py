@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention_layer", "fused_window_attention_ffn_layer"]
+__all__ = [
+    "fused_window_attention_layer",
+    "fused_window_attention_ffn_layer",
+    "fused_window_attention_block",
+]
 
 _EPS = 1e-6  # flax LayerNorm default epsilon
 _INV_SQRT2 = 0.7071067811865476
@@ -704,5 +708,423 @@ def fused_window_attention_ffn_layer(
         scale1.astype(jnp.float32), bias1.astype(jnp.float32),
         w0[:c], w0[c:], w2,
         scale2.astype(jnp.float32), bias2.astype(jnp.float32),
+        mask.astype(jnp.float32),
+    )
+
+# ------------------------------------------------------------------
+# whole TransformerBlock (self-attention layer + cross-attention+FFN
+# layer, reference transformer.py:348-401) in ONE kernel per window:
+#   x1  = x + LN1s(merge1(softmax(x Wq1 (x Wk1)^T / sqrt(C) + m) x Wv1))
+#   msg = LN1c(merge2(softmax(x1 Wq2 (t Wk2)^T / sqrt(C) + m) t Wv2))
+#   out = x1 + LN2c(W2 gelu(W0 [x1, msg]))
+# Per-cell compute is overhead-dominated at these window sizes (~8 us
+# sequencing vs ~0.5 us of matmul), so fusing the two layers halves the
+# invocation count and skips the inter-layer HBM round-trip of x1.
+# ------------------------------------------------------------------
+
+
+def _block_self_forward(x, wq1_ref, wk1_ref, wv1_ref, wm1_ref, s1_ref,
+                        b1_ref, mask_ref, *, inv_sqrt_c, with_mask):
+    """Self-attention layer in the storage dtype (mirrors _kernel)."""
+    dt = x.dtype
+    q = jnp.dot(x, wq1_ref[:].astype(dt), preferred_element_type=jnp.float32)
+    k = jnp.dot(x, wk1_ref[:].astype(dt), preferred_element_type=jnp.float32)
+    v = jnp.dot(x, wv1_ref[:].astype(dt), preferred_element_type=jnp.float32)
+    scores = jnp.dot(q.astype(dt), k.astype(dt).T,
+                     preferred_element_type=jnp.float32) * inv_sqrt_c
+    if with_mask:
+        scores = scores + mask_ref[0]
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - smax)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(dt), v.astype(dt), preferred_element_type=jnp.float32)
+    m = jnp.dot(o.astype(dt), wm1_ref[:].astype(dt),
+                preferred_element_type=jnp.float32)
+    mu = jnp.mean(m, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(m - mu), axis=-1, keepdims=True)
+    msg = (m - mu) * jax.lax.rsqrt(var + _EPS) * s1_ref[:] + b1_ref[:]
+    return x + msg.astype(dt)
+
+
+def _block_kernel(x_ref, t_ref,
+                  wq1_ref, wk1_ref, wv1_ref, wm1_ref, s1_ref, b1_ref,
+                  wq2_ref, wk2_ref, wv2_ref, wm2_ref, sa_ref, ba_ref,
+                  w0a_ref, w0b_ref, w2_ref, sb_ref, bb_ref,
+                  mask_ref, out_ref, *, inv_sqrt_c, with_mask):
+    x = x_ref[0, 0]  # [T, C] storage dtype
+    x1 = _block_self_forward(
+        x, wq1_ref, wk1_ref, wv1_ref, wm1_ref, s1_ref, b1_ref, mask_ref,
+        inv_sqrt_c=inv_sqrt_c, with_mask=with_mask,
+    )
+
+    x1f = x1.astype(jnp.float32)
+    t = t_ref[0, 0].astype(jnp.float32)
+    *_, msg = _attention_message(
+        x1f, t, wq2_ref, wk2_ref, wv2_ref, wm2_ref, sa_ref, ba_ref, mask_ref,
+        inv_sqrt_c=inv_sqrt_c, with_mask=with_mask,
+    )
+    u = (jnp.dot(x1f, w0a_ref[:].astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+         + jnp.dot(msg, w0b_ref[:].astype(jnp.float32),
+                   preferred_element_type=jnp.float32))
+    y = _gelu_exact(u)
+    z = jnp.dot(y, w2_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    mu2 = jnp.mean(z, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(z - mu2), axis=-1, keepdims=True)
+    xhat2 = (z - mu2) * jax.lax.rsqrt(var2 + _EPS)
+    out_ref[0, 0] = (x1f + xhat2 * sb_ref[:] + bb_ref[:]).astype(out_ref.dtype)
+
+
+def _block_bwd_kernel(x_ref, t_ref,
+                      wq1_ref, wk1_ref, wv1_ref, wm1_ref, s1_ref, b1_ref,
+                      wq2_ref, wk2_ref, wv2_ref, wm2_ref, sa_ref, ba_ref,
+                      w0a_ref, w0b_ref, w2_ref, sb_ref, bb_ref,
+                      mask_ref, gout_ref,
+                      gx_ref, gt_ref,
+                      gwq1_ref, gwk1_ref, gwv1_ref, gwm1_ref, gs1_ref,
+                      gb1_ref,
+                      gwq2_ref, gwk2_ref, gwv2_ref, gwm2_ref, gsa_ref,
+                      gba_ref, gw0a_ref, gw0b_ref, gw2_ref, gsb_ref, gbb_ref,
+                      *, inv_sqrt_c, with_mask):
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    dt = x_ref.dtype
+
+    # ---- recompute: self layer (fp32 math, mirroring _bwd_kernel) ----
+    x = x_ref[0, 0].astype(jnp.float32)
+    wq1 = wq1_ref[:].astype(jnp.float32)
+    wk1 = wk1_ref[:].astype(jnp.float32)
+    wv1 = wv1_ref[:].astype(jnp.float32)
+    wm1 = wm1_ref[:].astype(jnp.float32)
+    q1 = jnp.dot(x, wq1, preferred_element_type=jnp.float32)
+    k1 = jnp.dot(x, wk1, preferred_element_type=jnp.float32)
+    v1 = jnp.dot(x, wv1, preferred_element_type=jnp.float32)
+    s1s = jax.lax.dot_general(
+        q1, k1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+    if with_mask:
+        s1s = s1s + mask_ref[0]
+    smax1 = jnp.max(s1s, axis=-1, keepdims=True)
+    p1 = jnp.exp(s1s - smax1)
+    p1 = p1 / jnp.sum(p1, axis=-1, keepdims=True)
+    o1 = jnp.dot(p1, v1, preferred_element_type=jnp.float32)
+    m1 = jnp.dot(o1, wm1, preferred_element_type=jnp.float32)
+    mu1 = jnp.mean(m1, axis=-1, keepdims=True)
+    var1 = jnp.mean(jnp.square(m1 - mu1), axis=-1, keepdims=True)
+    inv1 = jax.lax.rsqrt(var1 + _EPS)
+    xh1 = (m1 - mu1) * inv1
+    msg1 = xh1 * s1_ref[:] + b1_ref[:]
+    # x1 as the forward produced it (round-trip through storage dtype)
+    x1 = (x_ref[0, 0] + msg1.astype(dt)).astype(jnp.float32)
+
+    # ---- recompute: cross attention + FFN (mirrors _ffn_bwd_kernel) ----
+    t = t_ref[0, 0].astype(jnp.float32)
+    q2, k2, v2, p2, o2, inv2m, xh2m, msg2 = _attention_message(
+        x1, t, wq2_ref, wk2_ref, wv2_ref, wm2_ref, sa_ref, ba_ref, mask_ref,
+        inv_sqrt_c=inv_sqrt_c, with_mask=with_mask,
+    )
+    w0a = w0a_ref[:].astype(jnp.float32)
+    w0b = w0b_ref[:].astype(jnp.float32)
+    w2 = w2_ref[:].astype(jnp.float32)
+    u = (jnp.dot(x1, w0a, preferred_element_type=jnp.float32)
+         + jnp.dot(msg2, w0b, preferred_element_type=jnp.float32))
+    z = jnp.dot(_gelu_exact(u), w2, preferred_element_type=jnp.float32)
+    mu3 = jnp.mean(z, axis=-1, keepdims=True)
+    var3 = jnp.mean(jnp.square(z - mu3), axis=-1, keepdims=True)
+    inv3 = jax.lax.rsqrt(var3 + _EPS)
+    xh3 = (z - mu3) * inv3
+
+    g = gout_ref[0, 0].astype(jnp.float32)
+
+    # ---- backward: LN2c + FFN ----
+    gsb_c = jnp.sum(g * xh3, axis=0)
+    gbb_c = jnp.sum(g, axis=0)
+    gxh3 = g * sb_ref[:]
+    gz = inv3 * (
+        gxh3
+        - jnp.mean(gxh3, axis=-1, keepdims=True)
+        - xh3 * jnp.mean(gxh3 * xh3, axis=-1, keepdims=True)
+    )
+    y = _gelu_exact(u)
+    gw2_c = jax.lax.dot_general(
+        y, gz, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gy = jax.lax.dot_general(
+        gz, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gu = gy * _gelu_grad(u)
+    gw0a_c = jax.lax.dot_general(
+        x1, gu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gw0b_c = jax.lax.dot_general(
+        msg2, gu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gx1 = g + jax.lax.dot_general(  # residual + FFN input path
+        gu, w0a, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gmsg2 = jax.lax.dot_general(
+        gu, w0b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # ---- backward: LN1c + cross attention ----
+    gsa_c = jnp.sum(gmsg2 * xh2m, axis=0)
+    gba_c = jnp.sum(gmsg2, axis=0)
+    gxh2 = gmsg2 * sa_ref[:]
+    dm2 = inv2m * (
+        gxh2
+        - jnp.mean(gxh2, axis=-1, keepdims=True)
+        - xh2m * jnp.mean(gxh2 * xh2m, axis=-1, keepdims=True)
+    )
+    wm2 = wm2_ref[:].astype(jnp.float32)
+    go2 = jax.lax.dot_general(
+        dm2, wm2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwm2_c = jax.lax.dot_general(
+        o2, dm2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gp2 = jax.lax.dot_general(
+        go2, v2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gv2 = jax.lax.dot_general(
+        p2, go2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds2 = p2 * (gp2 - jnp.sum(gp2 * p2, axis=-1, keepdims=True))
+    gq2 = jnp.dot(ds2, k2, preferred_element_type=jnp.float32) * inv_sqrt_c
+    gk2 = jax.lax.dot_general(
+        ds2, q2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+    wq2 = wq2_ref[:].astype(jnp.float32)
+    wk2 = wk2_ref[:].astype(jnp.float32)
+    wv2 = wv2_ref[:].astype(jnp.float32)
+    gx1 = gx1 + jax.lax.dot_general(
+        gq2, wq2, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gt = (
+        jax.lax.dot_general(gk2, wk2,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(gv2, wv2,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    )
+    gwq2_c = jax.lax.dot_general(
+        x1, gq2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwk2_c = jax.lax.dot_general(
+        t, gk2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwv2_c = jax.lax.dot_general(
+        t, gv2, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # ---- backward: LN1s + self attention (source == target == x) ----
+    gs1_c = jnp.sum(gx1 * xh1, axis=0)
+    gb1_c = jnp.sum(gx1, axis=0)
+    gxh1 = gx1 * s1_ref[:]
+    dm1 = inv1 * (
+        gxh1
+        - jnp.mean(gxh1, axis=-1, keepdims=True)
+        - xh1 * jnp.mean(gxh1 * xh1, axis=-1, keepdims=True)
+    )
+    go1 = jax.lax.dot_general(
+        dm1, wm1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwm1_c = jax.lax.dot_general(
+        o1, dm1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gp1 = jax.lax.dot_general(
+        go1, v1, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gv1 = jax.lax.dot_general(
+        p1, go1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds1 = p1 * (gp1 - jnp.sum(gp1 * p1, axis=-1, keepdims=True))
+    gq1 = jnp.dot(ds1, k1, preferred_element_type=jnp.float32) * inv_sqrt_c
+    gk1 = jax.lax.dot_general(
+        ds1, q1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+    gx = gx1 + jnp.dot(gq1, wq1.T, preferred_element_type=jnp.float32)
+    gx = gx + jnp.dot(gk1, wk1.T, preferred_element_type=jnp.float32)
+    gx = gx + jnp.dot(gv1, wv1.T, preferred_element_type=jnp.float32)
+    gwq1_c = jax.lax.dot_general(
+        x, gq1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwk1_c = jax.lax.dot_general(
+        x, gk1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    gwv1_c = jax.lax.dot_general(
+        x, gv1, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    gx_ref[0, 0] = gx.astype(gx_ref.dtype)
+    gt_ref[0, 0] = gt.astype(gt_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        for ref in (gwq1_ref, gwk1_ref, gwv1_ref, gwm1_ref, gs1_ref, gb1_ref,
+                    gwq2_ref, gwk2_ref, gwv2_ref, gwm2_ref, gsa_ref, gba_ref,
+                    gw0a_ref, gw0b_ref, gw2_ref, gsb_ref, gbb_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    gwq1_ref[:] += gwq1_c
+    gwk1_ref[:] += gwk1_c
+    gwv1_ref[:] += gwv1_c
+    gwm1_ref[:] += gwm1_c
+    gs1_ref[:] += gs1_c
+    gb1_ref[:] += gb1_c
+    gwq2_ref[:] += gwq2_c
+    gwk2_ref[:] += gwk2_c
+    gwv2_ref[:] += gwv2_c
+    gwm2_ref[:] += gwm2_c
+    gsa_ref[:] += gsa_c
+    gba_ref[:] += gba_c
+    gw0a_ref[:] += gw0a_c
+    gw0b_ref[:] += gw0b_c
+    gw2_ref[:] += gw2_c
+    gsb_ref[:] += gsb_c
+    gbb_ref[:] += gbb_c
+
+
+def _block_specs(x, w0a, mask):
+    b, k2, tok, c = x.shape
+    f = w0a.shape[-1]
+    with_mask = mask.shape[-1] == tok
+    win = pl.BlockSpec((1, 1, tok, c), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    wcc = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    wcf = pl.BlockSpec((c, f), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    wfc = pl.BlockSpec((f, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    if with_mask:
+        msk = pl.BlockSpec((1, tok, tok), lambda i, j: (j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    else:
+        msk = pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [win, win,
+                wcc, wcc, wcc, wcc, vec, vec,
+                wcc, wcc, wcc, wcc, vec, vec,
+                wcf, wcf, wfc, vec, vec,
+                msk]
+    return with_mask, in_specs, dict(win=win, wcc=wcc, wcf=wcf, wfc=wfc,
+                                     vec=vec)
+
+
+def _block_forward_pallas(args):
+    x = args[0]
+    b, k2, tok, c = x.shape
+    with_mask, in_specs, _ = _block_specs(x, args[14], args[19])
+    kernel = functools.partial(_block_kernel, inv_sqrt_c=1.0 / (c**0.5),
+                               with_mask=with_mask)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, k2),
+        in_specs=in_specs,
+        out_specs=in_specs[0],
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
+def _block_backward_pallas(res, gout):
+    x, t = res[0], res[1]
+    b, k2, tok, c = x.shape
+    f = res[14].shape[-1]
+    with_mask, in_specs, sp = _block_specs(x, res[14], res[19])
+    kernel = functools.partial(_block_bwd_kernel, inv_sqrt_c=1.0 / (c**0.5),
+                               with_mask=with_mask)
+    f32 = jnp.float32
+    cc = jax.ShapeDtypeStruct((c, c), f32)
+    vv = jax.ShapeDtypeStruct((c,), f32)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(t.shape, t.dtype),
+            cc, cc, cc, cc, vv, vv,
+            cc, cc, cc, cc, vv, vv,
+            jax.ShapeDtypeStruct((c, f), f32),
+            jax.ShapeDtypeStruct((c, f), f32),
+            jax.ShapeDtypeStruct((f, c), f32),
+            vv, vv,
+        ),
+        grid=(b, k2),
+        in_specs=in_specs + [sp["win"]],
+        out_specs=(sp["win"], sp["win"],
+                   sp["wcc"], sp["wcc"], sp["wcc"], sp["wcc"], sp["vec"],
+                   sp["vec"],
+                   sp["wcc"], sp["wcc"], sp["wcc"], sp["wcc"], sp["vec"],
+                   sp["vec"],
+                   sp["wcf"], sp["wcf"], sp["wfc"], sp["vec"], sp["vec"]),
+        interpret=jax.default_backend() != "tpu",
+    )(*res, gout)
+    gx, gt = outs[0], outs[1]
+    grads = [g.astype(r.dtype) for g, r in zip(outs[2:], res[2:19])]
+    return (gx, gt, *grads, jnp.zeros_like(res[19]))
+
+
+@jax.custom_vjp
+def _fused_block(*args):
+    return _block_forward_pallas(args)
+
+
+def _fused_block_fwd(*args):
+    return _block_forward_pallas(args), args
+
+
+_fused_block.defvjp(_fused_block_fwd,
+                    lambda res, g: _block_backward_pallas(res, g))
+
+
+def fused_window_attention_block(
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    self_params: dict,
+    cross_params: dict,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Whole self+cross+FFN TransformerBlock per window, one kernel call.
+
+    x, t: [B, K2, T, C] pre-split windows (both already rolled if shifted);
+    self_params: dict(wq, wk, wv, wm, s1, b1); cross_params additionally
+    w0 [2C, F] (split internally), w2 [F, C], s2, b2. mask: [K2, T, T] or
+    None — applied to BOTH layers (reference uses the same shifted mask).
+    """
+    c = x.shape[-1]
+    if mask is None:
+        mask = jnp.zeros((1, 1, 1), jnp.float32)
+    s, cr = self_params, cross_params
+    return _fused_block(
+        x, t,
+        s["wq"], s["wk"], s["wv"], s["wm"],
+        s["s1"].astype(jnp.float32), s["b1"].astype(jnp.float32),
+        cr["wq"], cr["wk"], cr["wv"], cr["wm"],
+        cr["s1"].astype(jnp.float32), cr["b1"].astype(jnp.float32),
+        cr["w0"][:c], cr["w0"][c:], cr["w2"],
+        cr["s2"].astype(jnp.float32), cr["b2"].astype(jnp.float32),
         mask.astype(jnp.float32),
     )

@@ -35,8 +35,9 @@ def _torch_grid_sample(img_nhwc, coords_xy, padding):
 
 
 @pytest.mark.parametrize("padding", ["zeros", "border"])
-def test_bilinear_sample_matches_grid_sample(padding):
-    img = RNG.standard_normal((2, 13, 17, 4)).astype(np.float32)
+@pytest.mark.parametrize("channels", [3, 4])  # 3 -> split 8-lane tables,
+def test_bilinear_sample_matches_grid_sample(padding, channels):  # 4 -> wide
+    img = RNG.standard_normal((2, 13, 17, channels)).astype(np.float32)
     coords = (RNG.uniform(-3, 20, size=(2, 9, 11, 2))).astype(np.float32)
     got = np.asarray(bilinear_sample(img, coords, padding_mode=padding))
     want = _torch_grid_sample(img, coords, padding)

@@ -26,21 +26,27 @@ SIZE = 352
 
 def main():
     config = EMIPShortConfig()
-    if os.environ.get("BENCH_TRAIN_REMAT", "1") == "0":
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "1")  # "0" | "1" | a policy
+    if remat != "1":
         import dataclasses
 
         from emip_tpu.models.backbones import register_backbone
         from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS, PVTv2
 
-        cfg_noremat = dataclasses.replace(PVT_V2_VARIANTS["pvt_v2_b5"],
+        if remat == "0":
+            cfg_alt = dataclasses.replace(PVT_V2_VARIANTS["pvt_v2_b5"],
                                           remat=False)
+            print("# remat disabled")
+        else:  # a jax.checkpoint_policies name, e.g. "dots"
+            cfg_alt = dataclasses.replace(PVT_V2_VARIANTS["pvt_v2_b5"],
+                                          remat_policy=remat)
+            print(f"# remat policy: {remat}")
         register_backbone(
-            "pvt_v2_b5_noremat",
-            lambda dtype: PVTv2(config=cfg_noremat, dtype=dtype),
-            cfg_noremat.embed_dims,
+            "pvt_v2_b5_alt",
+            lambda dtype: PVTv2(config=cfg_alt, dtype=dtype),
+            cfg_alt.embed_dims,
         )
-        config = EMIPShortConfig(backbone_name="pvt_v2_b5_noremat")
-        print("# remat disabled")
+        config = EMIPShortConfig(backbone_name="pvt_v2_b5_alt")
     model = EMIPShort(config=config, dtype=jnp.bfloat16)
     img = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     variables = jax.jit(
