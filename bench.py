@@ -32,9 +32,9 @@ import time
 REFERENCE_FPS_ESTIMATE = 10.0  # frames/sec, provisional (see docstring)
 
 
-def bench(batch_sizes=(8,), n_short: int = 5, n_long: int = 25):
-    # single batch size keeps the cold-compile budget small for CI drivers;
-    # bs=1 latency is recorded in CLAUDE.md (6.4 ms/step)
+def bench(batch_sizes=(8, 16), n_short: int = 5, n_long: int = 25):
+    # bs=16 measured best (232.7 vs 230.0 f/s at bs=8); both are swept and
+    # the best reported. bs=1 latency is recorded in CLAUDE.md (6.4 ms/step)
     import jax
     import jax.numpy as jnp
     import numpy as np

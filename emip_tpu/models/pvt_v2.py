@@ -52,6 +52,9 @@ class PVTv2Config:
     # lax.scan unroll factor for the per-stage block scan (>1 lets XLA fuse
     # across block boundaries at the cost of program size / compile time)
     scan_unroll: int = 1
+    # fused Pallas MixFFN dwconv+gelu: "never" (default - measured slower
+    # than XLA end-to-end, see MixFFN docstring) | "always" (tests)
+    fused_ffn: str = "never"
 
 
 # named variants mirroring the reference zoo (lib/pvt_v2.py:341-401)
@@ -160,25 +163,65 @@ class SRAttention(nn.Module):
         return out
 
 
+class _DWConvParams(nn.Module):
+    """kernel+bias params under the standard depthwise nn.Conv paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", nn.initializers.lecun_normal(),
+                       (3, 3, 1, self.features)),
+            self.param("bias", nn.initializers.zeros, (self.features,)),
+        )
+
+
 class MixFFN(nn.Module):
-    """Dense -> 3x3 depthwise conv -> GELU -> Dense (reference Mlp+DWConv)."""
+    """Dense -> 3x3 depthwise conv -> GELU -> Dense (reference Mlp+DWConv).
+
+    A Pallas dwconv+GELU fusion exists (:mod:`emip_tpu.ops.pallas.mixffn`)
+    but is OFF by default: both it (170 f/s) and a full fc1+dw+gelu+fc2
+    fusion (195 f/s) measured SLOWER end-to-end than XLA's own lowering
+    (230 f/s) — XLA fuses this chain well already. Kept behind
+    use_fused="always" for the CPU equivalence tests / future revisits.
+    """
 
     dim: int
     hidden: int
     linear: bool = False
     drop: float = 0.0
+    use_fused: str = "never"  # "always" | "never" (see docstring)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from emip_tpu.ops.pallas.mixffn import fused_dwconv_gelu
+
+        b, h, w, c = x.shape
+        import jax as _jax
+
+        del _jax
+        fuse = (
+            not self.linear
+            and self.drop == 0.0
+            and self.use_fused == "always"
+        )
         y = nn.Dense(self.hidden, kernel_init=_trunc, dtype=self.dtype,
                      name="fc1")(x)
         if self.linear:
             y = nn.relu(y)
-        y = nn.Conv(self.hidden, (3, 3), padding=1,
-                    feature_group_count=self.hidden, dtype=self.dtype,
-                    name="dwconv")(y)
-        y = nn.gelu(y, approximate=False)
+        if fuse:
+            wdw, bdw = _DWConvParams(self.hidden, name="dwconv")()
+            y = fused_dwconv_gelu(
+                y.reshape(b, h * w, self.hidden),
+                wdw.reshape(3, 3, self.hidden).astype(self.dtype), bdw, h, w,
+            ).reshape(b, h, w, self.hidden)
+        else:
+            y = nn.Conv(self.hidden, (3, 3), padding=1,
+                        feature_group_count=self.hidden, dtype=self.dtype,
+                        name="dwconv")(y)
+            y = nn.gelu(y, approximate=False)
         if self.drop > 0:
             y = nn.Dropout(self.drop)(y, deterministic=deterministic)
         y = nn.Dense(self.dim, kernel_init=_trunc, dtype=self.dtype,
@@ -203,6 +246,7 @@ class PVTBlock(nn.Module):
     linear: bool = False
     drop: float = 0.0
     attn_drop: float = 0.0
+    fused_ffn: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -221,7 +265,7 @@ class PVTBlock(nn.Module):
 
         mlp_out = MixFFN(
             self.dim, int(self.dim * self.mlp_ratio), self.linear, self.drop,
-            dtype=self.dtype, name="mlp",
+            use_fused=self.fused_ffn, dtype=self.dtype, name="mlp",
         )(nn.LayerNorm(**_LN, dtype=self.dtype, name="norm2")(x), deterministic)
         if not deterministic:
             mlp_out = _drop_path(
@@ -315,6 +359,7 @@ class PVTv2(nn.Module):
                 linear=cfg.linear,
                 drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate,
+                fused_ffn=cfg.fused_ffn,
                 dtype=self.dtype,
                 name=f"stage{i + 1}",
             )(x, rates, deterministic)

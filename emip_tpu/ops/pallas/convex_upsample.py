@@ -109,6 +109,8 @@ def _forward(flow, mask_logits, k):
             pl.BlockSpec((1, qc, kk), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(mask3, nb[..., 0], nb[..., 1])
     # interleave (hy, ky) / (wx, kx); the leading-dims transpose is cheap —
