@@ -55,6 +55,8 @@ class PVTv2Config:
     # fused Pallas MixFFN dwconv+gelu: "never" (default - measured slower
     # than XLA end-to-end, see MixFFN docstring) | "always" (tests)
     fused_ffn: str = "never"
+    # fused Pallas SR-attention: "auto" (TPU) | "always" (tests) | "never"
+    fused_attn: str = "auto"
 
 
 # named variants mirroring the reference zoo (lib/pvt_v2.py:341-401)
@@ -100,8 +102,36 @@ def jax_random_uniform(rng, shape):
     return jax.random.uniform(rng, shape)
 
 
+class _DenseParams(nn.Module):
+    """kernel+bias params under the standard nn.Dense paths."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _trunc,
+                            (self.in_features, self.features))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,))
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        return kernel, bias
+
+
 class SRAttention(nn.Module):
-    """Spatial-reduction multi-head attention on NHWC features."""
+    """Spatial-reduction multi-head attention on NHWC features.
+
+    With ``use_fused`` (default on TPU) the q/kv/out projections and the
+    per-head attention run as ONE Pallas kernel per image
+    (:mod:`emip_tpu.ops.pallas.sr_attention`): the XLA chain's head-layout
+    transposes + fp32 softmax round-trips were ~21 of the 54 ms/call b5
+    training grad (tools/profile_pvt_grad.py). The spatial-reduction
+    conv/LayerNorm (cheap, conv-shaped) stay in XLA. Parameter layout is
+    identical either way.
+    """
 
     dim: int
     num_heads: int
@@ -110,6 +140,7 @@ class SRAttention(nn.Module):
     linear: bool = False
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    use_fused: str = "auto"  # "auto" | "always" | "never"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -117,6 +148,18 @@ class SRAttention(nn.Module):
         b, h, w, c = x.shape
         heads = self.num_heads
         ch = c // heads
+
+        import jax as _jax
+
+        fuse = (
+            self.attn_drop == 0.0
+            and self.proj_drop == 0.0
+            and (self.use_fused == "always"
+                 or (self.use_fused == "auto"
+                     and _jax.default_backend() == "tpu"))
+        )
+        if fuse:
+            return self._fused(x, deterministic)
 
         q = nn.Dense(c, use_bias=self.qkv_bias, kernel_init=_trunc,
                      dtype=self.dtype, name="q")(x)
@@ -161,6 +204,46 @@ class SRAttention(nn.Module):
         if self.proj_drop > 0:
             out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
+
+    def _kv_input(self, x):
+        """Spatial-reduction path producing [B, M, C] kv tokens (XLA)."""
+        b, h, w, c = x.shape
+        if not self.linear:
+            if self.sr_ratio > 1:
+                kv_in = nn.Conv(
+                    c, (self.sr_ratio, self.sr_ratio),
+                    strides=(self.sr_ratio, self.sr_ratio),
+                    dtype=self.dtype, name="sr",
+                )(x)
+                kv_in = nn.LayerNorm(**_LN, dtype=self.dtype,
+                                     name="norm")(kv_in)
+            else:
+                kv_in = x
+        else:
+            pooled = resize_area(x, (7, 7))
+            kv_in = nn.Conv(c, (1, 1), dtype=self.dtype, name="sr")(pooled)
+            kv_in = nn.LayerNorm(**_LN, dtype=self.dtype, name="norm")(kv_in)
+            kv_in = nn.gelu(kv_in, approximate=False)
+        return kv_in.reshape(b, -1, c)
+
+    def _fused(self, x, deterministic):
+        from emip_tpu.ops.pallas.sr_attention import fused_sr_attention
+
+        b, h, w, c = x.shape
+        kv_in = self._kv_input(x)
+        wq, bq = _DenseParams(c, c, use_bias=self.qkv_bias, name="q")()
+        wkv, bkv = _DenseParams(c, 2 * c, use_bias=self.qkv_bias,
+                                name="kv")()
+        wp, bp = _DenseParams(c, c, name="proj")()
+        out = fused_sr_attention(
+            x.reshape(b, h * w, c),
+            kv_in.astype(x.dtype),
+            wq.astype(self.dtype), bq,
+            wkv.astype(self.dtype), bkv,
+            wp.astype(self.dtype), bp,
+            self.num_heads,
+        )
+        return out.reshape(b, h, w, c).astype(x.dtype)
 
 
 class _DWConvParams(nn.Module):
@@ -247,13 +330,15 @@ class PVTBlock(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     fused_ffn: str = "auto"
+    fused_attn: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, drop_path_rate, deterministic: bool = True):
         attn_out = SRAttention(
             self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
-            self.linear, self.attn_drop, self.drop, dtype=self.dtype,
+            self.linear, self.attn_drop, self.drop,
+            use_fused=self.fused_attn, dtype=self.dtype,
             name="attn",
         )(nn.LayerNorm(**_LN, dtype=self.dtype, name="norm1")(x), deterministic)
         if not deterministic:
@@ -360,6 +445,7 @@ class PVTv2(nn.Module):
                 drop=cfg.drop_rate,
                 attn_drop=cfg.attn_drop_rate,
                 fused_ffn=cfg.fused_ffn,
+                fused_attn=cfg.fused_attn,
                 dtype=self.dtype,
                 name=f"stage{i + 1}",
             )(x, rates, deterministic)

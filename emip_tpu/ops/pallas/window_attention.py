@@ -150,6 +150,8 @@ def _forward_pallas(x, t, wq, wk, wv, wm, scale, bias, mask, add_residual):
         in_specs=[win_spec, win_spec, w_spec, w_spec, w_spec, w_spec,
                   vec_spec, vec_spec, mask_spec],
         out_specs=win_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, t, wq, wk, wv, wm, scale, bias, mask)
 
@@ -311,6 +313,8 @@ def _backward_pallas(x, t, wq, wk, wv, wm, scale, bias, mask, gout,
                   vec_spec, vec_spec, mask_spec, win_spec],
         out_specs=(win_spec, win_spec, w_spec, w_spec, w_spec, w_spec,
                    vec_spec, vec_spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, t, wq, wk, wv, wm, scale, bias, mask, gout)
     return (
@@ -616,6 +620,8 @@ def _ffn_forward_pallas(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2,
         grid=(b, k2),
         in_specs=in_specs,
         out_specs=win,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask)
 
@@ -650,6 +656,8 @@ def _ffn_backward_pallas(res, gout):
         out_specs=(sp["win"], sp["win"], sp["wcc"], sp["wcc"], sp["wcc"],
                    sp["wcc"], sp["vec"], sp["vec"], sp["wcf"], sp["wcf"],
                    sp["wfc"], sp["vec"], sp["vec"]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask, gout)
     gx, gt = outs[0], outs[1]
@@ -1046,6 +1054,8 @@ def _block_forward_pallas(args):
         grid=(b, k2),
         in_specs=in_specs,
         out_specs=in_specs[0],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(*args)
 
@@ -1080,6 +1090,8 @@ def _block_backward_pallas(res, gout):
                    sp["wcc"], sp["wcc"], sp["wcc"], sp["wcc"], sp["vec"],
                    sp["vec"],
                    sp["wcf"], sp["wcf"], sp["wfc"], sp["vec"], sp["vec"]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(*res, gout)
     gx, gt = outs[0], outs[1]

@@ -4,6 +4,7 @@ XLA composition and gradient parity through the custom VJP."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from emip_tpu.ops.pallas import fused_flow_attention, softmax_expectation
 
@@ -198,6 +199,70 @@ def test_fused_mixffn_in_pvt_block_scan():
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
     plain = PVTv2(config=dataclasses.replace(cfg, fused_ffn="never"))
     fused = PVTv2(config=dataclasses.replace(cfg, fused_ffn="always"))
+    v = plain.init(jax.random.PRNGKey(0), x)
+
+    a = plain.apply(v, x)
+    b = fused.apply(v, x)
+    for ai, bi in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   rtol=1e-3, atol=1e-3)
+
+    def loss(model, v):
+        outs = model.apply(v, x, train=False)
+        return sum(jnp.sum(o**2) for o in outs)
+
+    gp = jax.grad(lambda v: loss(plain, v))(v)
+    gf = jax.grad(lambda v: loss(fused, v))(v)
+    for ai, bi in zip(jax.tree_util.tree_leaves(gp),
+                      jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   rtol=1e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("sr_ratio,heads", [(2, 2), (1, 4)])
+def test_fused_sr_attention_matches_xla_path(sr_ratio, heads):
+    """SRAttention fused Pallas kernel == XLA path (fwd + grads)."""
+    from emip_tpu.models.pvt_v2 import SRAttention
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    plain = SRAttention(dim=32, num_heads=heads, sr_ratio=sr_ratio,
+                        use_fused="never")
+    fused = SRAttention(dim=32, num_heads=heads, sr_ratio=sr_ratio,
+                        use_fused="always")
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = fused.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    a = plain.apply(v, x)
+    b = fused.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(model, v, x):
+        return jnp.sum(model.apply(v, x) ** 2)
+
+    gp = jax.grad(lambda v, x: loss(plain, v, x), argnums=(0, 1))(v, x)
+    gf = jax.grad(lambda v, x: loss(fused, v, x), argnums=(0, 1))(v, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_fused_sr_attention_in_pvt_scan():
+    """Fused attention under the rematted per-stage scan == XLA path."""
+    import dataclasses
+
+    from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS, PVTv2
+
+    cfg = dataclasses.replace(
+        PVT_V2_VARIANTS["pvt_v2_b0"], depths=(1, 1, 1, 1))
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    plain = PVTv2(config=dataclasses.replace(cfg, fused_attn="never"))
+    fused = PVTv2(config=dataclasses.replace(cfg, fused_attn="always"))
     v = plain.init(jax.random.PRNGKey(0), x)
 
     a = plain.apply(v, x)

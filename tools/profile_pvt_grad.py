@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""PVT training-cost attribution: grad time with sub-ops stubbed.
+
+Times jax.grad of the b5 backbone with (a) everything, (b) the MixFFN
+dwconv replaced by identity, (c) SR-attention replaced by its q-projection
+only, (d) no remat. Full - variant bounds the sub-op's fwd+bwd share.
+(Param trees differ across variants — timing diagnostics only.)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import emip_tpu.models.pvt_v2 as pvt
+
+BS = int(os.environ.get("BS", "8"))
+SIZE = 352
+
+
+def timed(fn, args, n=6):
+    def chain(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    chain(1)
+    t1 = chain(2)
+    tn = chain(2 + n)
+    return (tn - t1) / n
+
+
+def bench(label, cfg, x, img):
+    model = pvt.PVTv2(config=cfg, dtype=jnp.bfloat16)
+    v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), img))()
+
+    def loss(params, x):
+        outs = model.apply(params, x, train=False)
+        return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+    g = jax.jit(jax.grad(loss))
+
+    def run(v, x):
+        gr = g(v, x)
+        return jax.tree_util.tree_leaves(gr)[0]
+
+    t = timed(run, (v, x))
+    print(f"{label:30s} {t*1e3:7.2f} ms")
+    return t
+
+
+def main():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((BS, SIZE, SIZE, 3)), jnp.float32)
+    img = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    cfg = pvt.PVT_V2_VARIANTS["pvt_v2_b5"]
+
+    bench("b5 grad (full, remat)", cfg, x, img)
+    bench("b5 grad (no remat)",
+          dataclasses.replace(cfg, remat=False), x, img)
+
+    orig_mixffn = pvt.MixFFN.__call__
+
+    def no_dwconv(self, y, deterministic=True):
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+    pvt.MixFFN.__call__ = nn.compact(no_dwconv)
+    try:
+        bench("b5 grad (dwconv stubbed)", cfg, x, img)
+    finally:
+        pvt.MixFFN.__call__ = orig_mixffn
+
+    orig_attn = pvt.SRAttention.__call__
+
+    def q_only(self, y, deterministic=True):
+        return nn.Dense(self.dim, dtype=self.dtype, name="q")(y)
+
+    pvt.SRAttention.__call__ = nn.compact(q_only)
+    try:
+        bench("b5 grad (attention stubbed)", cfg, x, img)
+    finally:
+        pvt.SRAttention.__call__ = orig_attn
+
+
+if __name__ == "__main__":
+    main()
