@@ -282,9 +282,6 @@ class MixFFN(nn.Module):
         from emip_tpu.ops.pallas.mixffn import fused_dwconv_gelu
 
         b, h, w, c = x.shape
-        import jax as _jax
-
-        del _jax
         fuse = (
             not self.linear
             and self.drop == 0.0
