@@ -184,3 +184,60 @@ class LayerNorm2d(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         return xn * scale + bias
+
+
+def pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC pixel shuffle: [B, H, W, C*r^2] -> [B, H*r, W*r, C].
+
+    Channel order matches torch.nn.PixelShuffle (channels factored as
+    (C, r, r) with r-major spatial interleave).
+    """
+    b, h, w, c = x.shape
+    r = factor
+    x = x.reshape(b, h, w, c // (r * r), r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c // (r * r))
+
+
+def pixel_unshuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """NHWC pixel unshuffle: [B, H*r, W*r, C] -> [B, H, W, C*r^2]."""
+    b, hr, wr, c = x.shape
+    r = factor
+    h, w = hr // r, wr // r
+    x = x.reshape(b, h, r, w, r, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h, w, c * r * r)
+
+
+class PixelShuffleDownsample(nn.Module):
+    """conv(C -> C/2) + pixel-unshuffle(2): spatial /2, channels x2.
+
+    Dead alternate in the reference (never instantiated, model.py:14-22);
+    carried for catalogue completeness.
+    """
+
+    n_feat: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.n_feat // 2, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        return pixel_unshuffle(y, 2)
+
+
+class PixelShuffleUpsample(nn.Module):
+    """conv(C -> 2C) + pixel-shuffle(2): spatial x2, channels /2.
+
+    Dead alternate in the reference (model.py:24-31); carried for
+    catalogue completeness.
+    """
+
+    n_feat: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(2 * self.n_feat, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        return pixel_shuffle(y, 2)

@@ -75,3 +75,40 @@ def test_seg_network_shapes():
     variables = model.init(jax.random.PRNGKey(0), img, train=False)
     logits = model.apply(variables, img, train=False)
     assert logits.shape == (1, 64, 64, 1)
+
+
+def test_pixel_shuffle_matches_torch():
+    """NHWC pixel shuffle/unshuffle == torch channel ordering."""
+    import numpy as np
+    import torch
+
+    from emip_tpu.models.common import pixel_shuffle, pixel_unshuffle
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 4, 6, 16)).astype(np.float32)
+    got = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    want = torch.nn.functional.pixel_shuffle(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 2
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    back = np.asarray(pixel_unshuffle(jnp.asarray(got), 2))
+    np.testing.assert_allclose(back, x, rtol=1e-6, atol=1e-6)
+
+
+def test_pixel_shuffle_down_up_shapes():
+    import jax
+
+    from emip_tpu.models.common import (
+        PixelShuffleDownsample,
+        PixelShuffleUpsample,
+    )
+
+    x = jnp.ones((1, 8, 8, 16))
+    down = PixelShuffleDownsample(16)
+    v = down.init(jax.random.PRNGKey(0), x)
+    assert down.apply(v, x).shape == (1, 4, 4, 32)
+
+    up = PixelShuffleUpsample(16)
+    v = up.init(jax.random.PRNGKey(0), x)
+    assert up.apply(v, x).shape == (1, 16, 16, 8)
