@@ -52,12 +52,13 @@ def _conv(w) -> np.ndarray:
 def _conv_t(w) -> np.ndarray:
     """torch ConvTranspose2d weight [I, O, kh, kw] -> flax [kh, kw, I, O].
 
-    Only used for the reference's dead-but-checkpointed upscaling modules
-    (never executed), so shape-correct conversion is what matters; kernel
-    orientation parity is not exercised.
+    flax ``nn.ConvTranspose`` applies the kernel spatially MIRRORED
+    relative to torch's ConvTranspose2d; flipping kh/kw makes outputs
+    match exactly (verified by tests/test_sam_prompt.py parity through
+    the SAM head's output upscaler).
     """
     w = _np(w)
-    return w.transpose(2, 3, 0, 1)
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
 
 
 def _lin(w) -> np.ndarray:
@@ -405,3 +406,70 @@ def maybe_load_reference_weights(variables: dict, cfg) -> dict:
             dict(params={"gmflow": converted["params"]}),
         )
     return variables
+
+
+def _two_way_attention_into(t: _Tree, sd: dict, src: str, dst: str):
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        t.dense(f"{dst}/{proj}", sd, f"{src}.{proj}")
+
+
+def convert_sam_prompt_state(sd: dict, depth: int = 2) -> dict:
+    """Reference SAM prompt head (PromptInteract/Interact) -> flax params.
+
+    Maps the torch module tree of ``model/EMIP_short/motion/
+    PromptInteract.py:12-173`` (TwoWayTransformer layers, random positional
+    encoding buffer, transposed-conv upscaler, hypernetwork MLPs, mask
+    downscaler, patch embed) onto :mod:`emip_tpu.models.sam_prompt`'s
+    layout. ``depth`` is the two-way transformer depth (2 for
+    PromptInteract, 1 for Interact).
+    """
+    t = _Tree()
+    if "mask_tokens.weight" in sd:
+        t.p("mask_tokens", _np(sd["mask_tokens.weight"]))
+    if "motion_tokens" in sd:
+        t.p("motion_tokens", _np(sd["motion_tokens"]))
+    if "flow_tokens.weight" in sd:
+        t.p("flow_tokens", _np(sd["flow_tokens.weight"]))
+    t.p("pe_layer/positional_encoding_gaussian_matrix",
+        _np(sd["pe_layer.positional_encoding_gaussian_matrix"]))
+    t.conv("PatchEmbed/proj", sd, "PatchEmbed.proj")
+
+    for i in range(depth):
+        src = f"transformer.layers.{i}"
+        dst = f"transformer/layer{i}"
+        _two_way_attention_into(t, sd, f"{src}.self_attn",
+                                f"{dst}/self_attn")
+        _two_way_attention_into(t, sd, f"{src}.cross_attn_token_to_image",
+                                f"{dst}/cross_attn_token_to_image")
+        _two_way_attention_into(t, sd, f"{src}.cross_attn_image_to_token",
+                                f"{dst}/cross_attn_image_to_token")
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            t.ln(f"{dst}/{n}", sd, f"{src}.{n}")
+        t.dense(f"{dst}/mlp/lin1", sd, f"{src}.mlp.lin1")
+        t.dense(f"{dst}/mlp/lin2", sd, f"{src}.mlp.lin2")
+    _two_way_attention_into(t, sd, "transformer.final_attn_token_to_image",
+                            "transformer/final_attn_token_to_image")
+    t.ln("transformer/norm_final_attn", sd, "transformer.norm_final_attn")
+
+    t.conv_t("output_upscaling/deconv0", sd, "output_upscaling.0")
+    _ln2d(t, sd, "output_upscaling.1", "output_upscaling/ln")
+    t.conv_t("output_upscaling/deconv1", sd, "output_upscaling.3")
+
+    for key in list(sd):
+        if key.startswith("output_hypernetworks_mlps."):
+            parts = key.split(".")
+            i, j = parts[1], parts[3]
+            if key.endswith(".weight"):
+                t.dense(f"output_hypernetworks_mlps_{i}/layers_{j}", sd,
+                        key[: -len(".weight")])
+        if key.startswith("flow_head.layers.") and key.endswith(".weight"):
+            j = key.split(".")[2]
+            t.dense(f"flow_head/layers_{j}", sd, key[: -len(".weight")])
+
+    t.conv("mask_downscaling/conv0", sd, "mask_downscaling.0")
+    _ln2d(t, sd, "mask_downscaling.1", "mask_downscaling/ln0")
+    t.conv("mask_downscaling/conv1", sd, "mask_downscaling.3")
+    _ln2d(t, sd, "mask_downscaling.4", "mask_downscaling/ln1")
+    t.conv("mask_downscaling/conv2", sd, "mask_downscaling.6")
+
+    return t.unflatten()["params"]
