@@ -243,6 +243,12 @@ class SRAttention(nn.Module):
             wp.astype(self.dtype), bp,
             self.num_heads,
         )
+        # name the output so remat_policy="save_attn" can store it: under
+        # plain full remat the block backward re-runs this forward kernel
+        # AND the bwd kernel recomputes internally (double recompute)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "sr_attn_out")
         return out.reshape(b, h, w, c).astype(x.dtype)
 
 
@@ -412,6 +418,9 @@ class PVTv2(nn.Module):
                 if cfg.remat_policy == "dots":
                     policy = (jax.checkpoint_policies
                               .dots_with_no_batch_dims_saveable)
+                elif cfg.remat_policy == "save_attn":
+                    policy = (jax.checkpoint_policies
+                              .save_only_these_names("sr_attn_out"))
                 elif cfg.remat_policy is not None:
                     policy = getattr(jax.checkpoint_policies, cfg.remat_policy)
                 # static_argnums counts the module instance at index 0:
