@@ -4,7 +4,6 @@ the occlusion splat at 352^2, bs=8."""
 
 import os
 import sys
-import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,19 +16,11 @@ import numpy as np
 BS, SIZE, C = 8, 352, 3
 
 
-def timed(fn, args, n=8):
-    def chain(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
-        return time.perf_counter() - t0
+from tools._timing import timed as _timed
 
-    chain(1)
-    t1 = chain(2)
-    tn = chain(2 + n)
-    return (tn - t1) / n
+
+def timed(fn, args, n=8):
+    return _timed(fn, args, n)
 
 
 # ---------------- gather variants: out[n,hw,c] = img[n, idx[n,hw], c]

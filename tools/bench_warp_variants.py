@@ -11,7 +11,6 @@ Variants:
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,19 +22,11 @@ import numpy as np
 BS, SIZE, C = 8, 352, 3
 
 
-def timed(fn, args, n=10):
-    def chain(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
-        return time.perf_counter() - t0
+from tools._timing import timed as _timed
 
-    chain(1)
-    t1 = chain(2)
-    tn = chain(2 + n)
-    return (tn - t1) / n
+
+def timed(fn, args, n=10):
+    return _timed(fn, args, n)
 
 
 def _weights_and_idx(img, coords):

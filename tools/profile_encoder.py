@@ -8,7 +8,6 @@ upper-bounds what a fused IN kernel could save), and a stem-only build
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,19 +21,11 @@ BS = int(os.environ.get("BS", "8"))
 SIZE = 352
 
 
-def timed(fn, args, n=10):
-    def chain(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
-        return time.perf_counter() - t0
+from tools._timing import timed as _timed
 
-    chain(1)
-    t1 = chain(2)
-    tn = chain(2 + n)
-    return (tn - t1) / n
+
+def timed(fn, args, n=10):
+    return _timed(fn, args, n)
 
 
 def bench(label, model, x):

@@ -12,7 +12,6 @@ differential timing, see bench.py):
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,25 +29,11 @@ BS = int(os.environ.get("BS", "8"))
 SIZE = 352
 
 
-def timed(fn, args, n=6):
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
-    # chained differential timing: the tunnel acks before execution, so
-    # time n dependent calls minus 1 dependent call
-    def chain(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = fn(*args)
-        _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
-        return time.perf_counter() - t0
+from tools._timing import timed as _timed
 
-    chain(1)
-    t1 = chain(2)
-    tn = chain(2 + n)
-    return (tn - t1) / n
+
+def timed(fn, args, n=6):
+    return _timed(fn, args, n)
 
 
 def main():
