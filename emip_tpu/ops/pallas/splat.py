@@ -28,9 +28,18 @@ __all__ = ["splat_density_pallas"]
 
 
 def _q_chunk(q: int) -> int:
-    """Largest multiple-of-8 divisor of q <= 2048, else q itself."""
+    """Largest multiple-of-8 divisor of q <= SPLAT_QC (default 3872).
+
+    Swept at 352^2/bs=8: qc 968/2048/3872/7744/15488 ->
+    3.78/3.89/3.15/3.68/3.49 ms; 3872 amortizes grid overhead best while
+    the A/B hat matrices still double-buffer (needs the raised scoped-vmem
+    cap on the pallas_call).
+    """
+    import os
+
+    cap = int(os.environ.get("SPLAT_QC", "3872"))
     best = q
-    for c in range(min(q, 2048), 7, -1):
+    for c in range(min(q, cap), 7, -1):
         if q % c == 0 and c % 8 == 0:
             return c
     return best
@@ -95,6 +104,8 @@ def _forward(coords):
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i, j: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(x, y)
 
