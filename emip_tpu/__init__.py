@@ -33,7 +33,9 @@ def _enable_compilation_cache() -> None:
                               os.path.expanduser("~/.cache/jaxcomp"))
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # 1s threshold: every (slow) tunnel compile is cached while trivial
+        # CPU compiles are not, bounding ~/.cache/jaxcomp growth
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - old jax or read-only fs
         pass
 

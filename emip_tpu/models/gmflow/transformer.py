@@ -283,21 +283,23 @@ class TransformerBlock(nn.Module):
     ffn_dim_expansion: int = 4
     with_shift: bool = False
     use_fused_attn: bool = False
+    # whole-block kernel vs two per-layer kernels: the block kernel
+    # wins at 352^2 windows (T=484; 230 -> 232 f/s) but measures
+    # slightly SLOWER at 512^2 windows (T=1024: 54.1 vs 55.6 f/s
+    # streaming) — larger VMEM working set. Default: block kernel
+    # up to T=784; EMIP_FUSED_BLOCK_MAX_T env knob for A/B.
+    fused_block_max_t: int = 784
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, source, target, attn_num_splits: int = 1):
         if self.use_fused_attn and attn_num_splits > 1:
-            import os
+            from emip_tpu.utils.knobs import resolve
 
-            # whole-block kernel vs two per-layer kernels: the block kernel
-            # wins at 352^2 windows (T=484; 230 -> 232 f/s) but measures
-            # slightly SLOWER at 512^2 windows (T=1024: 54.1 vs 55.6 f/s
-            # streaming) — larger VMEM working set. Default: block kernel
-            # up to T=784; env knob for A/B.
             tok = (source.shape[1] // attn_num_splits) * (
                 source.shape[2] // attn_num_splits)
-            if tok <= int(os.environ.get("EMIP_FUSED_BLOCK_MAX_T", "784")):
+            if tok <= resolve("fused_block_max_t", self.fused_block_max_t,
+                              env="EMIP_FUSED_BLOCK_MAX_T"):
                 return self._fused_block(source, target, attn_num_splits)
         source = TransformerLayer(
             self.d_model, no_ffn=True, ffn_dim_expansion=self.ffn_dim_expansion,

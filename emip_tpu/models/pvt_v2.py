@@ -85,21 +85,17 @@ _trunc = nn.initializers.truncated_normal(stddev=0.02)
 
 def _drop_path(x, rate, deterministic, rng):
     """Per-sample stochastic depth (timm convention: scale by 1/keep)."""
-    if deterministic:
-        return x
-    keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jnp.floor(keep + jax_random_uniform(rng, shape))
-    # keep activation dtype (a fp32 mask would promote bf16 activations
-    # and break the scan carry dtype)
-    return (x * (1.0 / keep).astype(x.dtype) if hasattr(keep, "astype")
-            else x / keep) * mask.astype(x.dtype)
-
-
-def jax_random_uniform(rng, shape):
     import jax
 
-    return jax.random.uniform(rng, shape)
+    if deterministic:
+        return x
+    # rate is a traced f32 scalar under nn.scan (the per-block rates ride
+    # the scan axis) — cast the 1/keep factor back so bf16 activations are
+    # not promoted, which would break the scan carry dtype.
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape))
+    return x * jnp.asarray(1.0 / keep, x.dtype) * mask.astype(x.dtype)
 
 
 class _DenseParams(nn.Module):
@@ -151,6 +147,8 @@ class SRAttention(nn.Module):
 
         import jax as _jax
 
+        from emip_tpu.utils.knobs import resolve
+
         fuse = (
             self.attn_drop == 0.0
             and self.proj_drop == 0.0
@@ -158,6 +156,7 @@ class SRAttention(nn.Module):
                  or (self.use_fused == "auto"
                      and _jax.default_backend() == "tpu"))
         )
+        fuse = resolve("sr_attention_fused", fuse)
         if fuse:
             return self._fused(x, deterministic)
 

@@ -60,8 +60,8 @@ class PositionEmbeddingRandom(nn.Module):
 
     The gaussian projection matrix is a buffer in the reference (a fixed
     random draw, never trained); here it is a param initialized with the
-    same distribution — the head is a dead alternate, so it receives no
-    gradient traffic either way.
+    same distribution but held under ``stop_gradient`` so it stays a fixed
+    random draw even if these heads are ever put on a training path.
     """
 
     num_pos_feats: int = 64
@@ -69,11 +69,11 @@ class PositionEmbeddingRandom(nn.Module):
 
     @nn.compact
     def __call__(self, size: int):
-        gauss = self.param(
+        gauss = jax.lax.stop_gradient(self.param(
             "positional_encoding_gaussian_matrix",
             nn.initializers.normal(stddev=self.scale),
             (2, self.num_pos_feats), jnp.float32,
-        )
+        ))
         h = w = size
         # pixel-center coords normalized to [0, 1] (cumsum(ones) - 0.5) / n
         y = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h

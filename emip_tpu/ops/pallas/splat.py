@@ -35,9 +35,9 @@ def _q_chunk(q: int) -> int:
     the A/B hat matrices still double-buffer (needs the raised scoped-vmem
     cap on the pallas_call).
     """
-    import os
+    from emip_tpu.utils.knobs import resolve
 
-    cap = int(os.environ.get("SPLAT_QC", "3872"))
+    cap = resolve("splat_q_chunk", 3872, env="SPLAT_QC")
     best = q
     for c in range(min(q, cap), 7, -1):
         if q % c == 0 and c % 8 == 0:

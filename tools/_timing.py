@@ -14,13 +14,33 @@ import jax
 
 
 def timed(fn, args, n: int = 8) -> float:
-    """Marginal per-call seconds of ``fn(*args)`` on the default device."""
+    """Marginal per-call seconds of ``fn(*args)`` on the default device.
+
+    Calls are made truly data-dependent (each call's first array argument is
+    perturbed by a zero derived from the previous output) so the remote
+    runtime cannot overlap them — independent-call chains measurably
+    mis-attribute costs over the tunnel (CLAUDE.md round-2 findings).
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(list(args))
+    dep_i = next(
+        (i for i, l in enumerate(leaves)
+         if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating)),
+        None,
+    )
 
     def chain(k):
         t0 = time.perf_counter()
+        cur = list(leaves)
         o = None
         for _ in range(k):
-            o = fn(*args)
+            o = fn(*jax.tree_util.tree_unflatten(treedef, cur))
+            if dep_i is not None:
+                s = jax.tree_util.tree_leaves(o)[0].ravel()[0]
+                zero = (s * 0).astype(leaves[dep_i].dtype)
+                cur = list(leaves)
+                cur[dep_i] = leaves[dep_i] + zero
         _ = float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
         return time.perf_counter() - t0
 
