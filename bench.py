@@ -1,19 +1,27 @@
 #!/usr/bin/env python
-"""Benchmark: frames/sec/chip of the flagship EMIP-short forward at 352^2.
+"""Benchmark: the whole perf story of the flagship EMIP-short/long models.
 
-Measures end-to-end inference throughput of the full two-stream pipeline
-(PVTv2-B5 segmentation features for both frames, GMFlow CNN + transformer
-matching, both prompt injections, correlation embedding, NCD decode) on one
-chip in bfloat16, sweeping batch sizes and reporting the best.
+Sub-benchmarks (each RTT-corrected by chain differencing, see below):
+  * inference frames/s at 352^2 bf16 (batch sweep) — the headline metric;
+  * short train step ms + pairs/s at bs=8 (fwd both streams, hybrid-E +
+    photometric flow losses, backward over trainable sub-tree, clip, AdamW);
+  * long (LTM) train step ms + frames/s at bs=4;
+  * 512^2 long-model streaming, STABLE metric name: aggregate frames/s at
+    4 batched clips (r1 single-clip 57.6 / r2 55.6 f/s were different
+    definitions; this one is fixed going forward);
+  * MFU: XLA cost-analysis FLOPs x measured time / chip peak, for the
+    inference forward and the train step.
 
 Timing methodology (important under remote/async TPU runtimes where
 ``block_until_ready`` can return before execution): iterations are chained
 through a data dependency (the next input is perturbed by the previous
-output) and a scalar is fetched once at the end, forcing the whole chain to
-execute; the constant host round-trip is eliminated by differencing two
-chain lengths.
+output; train steps thread their state) and a scalar is fetched once at the
+end, forcing the whole chain to execute; the constant host round-trip is
+eliminated by differencing two chain lengths.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: the headline inference metric in the standard
+{"metric", "value", "unit", "vs_baseline"} keys, with every other
+sub-benchmark under "extra_metrics".
 
 Baseline note: the reference publishes no throughput (BASELINE.md), and no
 CUDA GPU exists in this environment to measure it. ``REFERENCE_FPS_ESTIMATE``
@@ -27,14 +35,29 @@ a real CUDA measurement when hardware allows.
 from __future__ import annotations
 
 import json
+import os
 import time
+import traceback
 
 REFERENCE_FPS_ESTIMATE = 10.0  # frames/sec, provisional (see docstring)
+# bf16 peak of one TPU v5e chip (for MFU); override for other chips
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+SIZE = 352
 
 
-def bench(batch_sizes=(8, 16), n_short: int = 5, n_long: int = 25):
-    # bs=16 measured best (232.7 vs 230.0 f/s at bs=8); both are swept and
-    # the best reported. bs=1 latency is recorded in CLAUDE.md (6.4 ms/step)
+def _flops(jitted, *args) -> float | None:
+    """XLA cost-analysis FLOPs of a jitted callable (None if unavailable)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def bench_inference(extra, batch_sizes=(8, 16), n_short=5, n_long=25):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,9 +66,8 @@ def bench(batch_sizes=(8, 16), n_short: int = 5, n_long: int = 25):
 
     config = EMIPShortConfig()
     model = EMIPShort(config=config, dtype=jnp.bfloat16)
-    size = config.inp_size
 
-    init_img = jnp.zeros((1, size, size, 3), jnp.float32)
+    init_img = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), init_img, init_img,
                            train=False)
@@ -53,12 +75,9 @@ def bench(batch_sizes=(8, 16), n_short: int = 5, n_long: int = 25):
 
     @jax.jit
     def chained(variables, image1, image2):
-        """One forward; output perturbs the next input (data dependency).
-
-        variables is an explicit argument: closing over ~340MB of params
-        would bake them into the compile payload (rejected by remote
-        runtimes with request-size limits).
-        """
+        # variables is an explicit argument: closing over ~340MB of params
+        # would bake them into the compile payload (rejected by remote
+        # runtimes with request-size limits).
         mask, _, _ = model.apply(variables, image1, image2, train=False)
         eps = jnp.tanh(jnp.mean(mask)) * 1e-6
         return image1 + eps, image2 + eps, jnp.mean(mask)
@@ -71,11 +90,12 @@ def bench(batch_sizes=(8, 16), n_short: int = 5, n_long: int = 25):
         return float(s)  # fetch forces execution of the whole chain
 
     results = {}
+    step_ms = {}
     rng = np.random.default_rng(0)
     for bs in batch_sizes:
-        img1 = jnp.asarray(rng.standard_normal((bs, size, size, 3)),
+        img1 = jnp.asarray(rng.standard_normal((bs, SIZE, SIZE, 3)),
                            jnp.float32)
-        img2 = jnp.asarray(rng.standard_normal((bs, size, size, 3)),
+        img2 = jnp.asarray(rng.standard_normal((bs, SIZE, SIZE, 3)),
                            jnp.float32)
         run_chain(img1, img2, 2)  # warmup / compile
 
@@ -88,23 +108,212 @@ def bench(batch_sizes=(8, 16), n_short: int = 5, n_long: int = 25):
         t_long = time.perf_counter() - t0
 
         step_s = (t_long - t_short) / (n_long - n_short)
-        fps = bs / step_s
-        results[bs] = fps
-        print(f"# bs={bs}: {fps:.2f} frames/s ({step_s * 1e3:.2f} ms/step, "
-              f"RTT-corrected)")
+        results[bs] = bs / step_s
+        step_ms[bs] = step_s * 1e3
+        print(f"# infer bs={bs}: {results[bs]:.2f} frames/s "
+              f"({step_ms[bs]:.2f} ms/step, RTT-corrected)")
+
+        flops = _flops(chained, variables, img1, img2)
+        if flops is not None:
+            mfu = flops / step_s / (PEAK_TFLOPS * 1e12) * 100
+            extra[f"inference_mfu_pct_bs{bs}"] = round(mfu, 2)
+            print(f"# infer bs={bs}: {flops / 1e12:.3f} TFLOP "
+                  f"-> MFU {mfu:.1f}%")
 
     best_bs = max(results, key=results.get)
+    extra["inference_ms_per_step_best"] = round(step_ms[best_bs], 2)
     return results[best_bs], best_bs
 
 
+def bench_train_short(extra, bs=8, n=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emip_tpu.models.emip_short import EMIPShort, EMIPShortConfig
+    from emip_tpu.train.short import make_short_train_step
+    from emip_tpu.train.state import (
+        GMFLOW_FREEZE,
+        TrainState,
+        build_optimizer,
+    )
+
+    model = EMIPShort(config=EMIPShortConfig(), dtype=jnp.bfloat16)
+    img = jnp.zeros((1, SIZE, SIZE, 3), jnp.float32)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), img, img, train=False)
+    )()
+    tx = build_optimizer()
+    state = TrainState.create(variables, tx, GMFLOW_FREEZE)
+    step = make_short_train_step(model, tx, donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = dict(
+        image1=jnp.asarray(rng.standard_normal((bs, SIZE, SIZE, 3)),
+                           jnp.float32),
+        image2=jnp.asarray(rng.standard_normal((bs, SIZE, SIZE, 3)),
+                           jnp.float32),
+        gt=jnp.asarray(rng.uniform(size=(bs, SIZE, SIZE, 1)) > 0.5,
+                       jnp.float32),
+    )
+
+    # abstract avals for cost analysis, captured before donation kills
+    # the concrete buffers
+    def _aval(x):
+        return (jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") else x)
+
+    avals = jax.tree_util.tree_map(_aval, (state, batch, jax.random.PRNGKey(0)))
+
+    def run(k, state):
+        # state threads through the chain: steps are data-dependent
+        key = jax.random.PRNGKey(0)
+        loss = None
+        for _ in range(k):
+            key, sk = jax.random.split(key)
+            state, metrics = step(state, batch, sk)
+            loss = metrics["loss"]
+        return float(loss), state
+
+    _, state = run(2, state)  # compile + warmup
+    t0 = time.perf_counter()
+    _, state = run(3, state)
+    t1 = time.perf_counter()
+    _, state = run(3 + n, state)
+    t2 = time.perf_counter()
+    step_s = ((t2 - t1) - (t1 - t0)) / n
+
+    extra["train_ms_per_step_bs8"] = round(step_s * 1e3, 1)
+    extra["train_pairs_per_s_bs8"] = round(bs / step_s, 1)
+    print(f"# train bs={bs}: {step_s * 1e3:.1f} ms/step -> "
+          f"{bs / step_s:.1f} pairs/s")
+
+    # MFU of the whole train step (fwd+bwd+optimizer). Lowering with the
+    # pre-captured abstract avals reproduces the already-compiled program,
+    # so the persistent compilation cache makes this near-free.
+    flops = _flops(step, *avals)
+    if flops is not None:
+        mfu = flops / step_s / (PEAK_TFLOPS * 1e12) * 100
+        extra["train_mfu_pct_bs8"] = round(mfu, 2)
+        print(f"# train bs={bs}: {flops / 1e12:.3f} TFLOP -> MFU {mfu:.1f}%")
+
+
+def bench_train_long(extra, bs=4, n=6):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emip_tpu.train.long import build_long_state, make_long_train_step
+    from emip_tpu.utils.config import load_config
+
+    cfg = load_config(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "configs", "emip.yaml"))
+    model, tx, state = build_long_state(cfg)
+
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.standard_normal((bs, SIZE, SIZE, 3)), jnp.float32)
+    cur = jnp.asarray(rng.standard_normal((bs, SIZE, SIZE, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(size=(bs, SIZE, SIZE, 1)) > 0.5, jnp.float32)
+    step = make_long_train_step(model, tx)
+
+    def copy(t):
+        return jax.tree_util.tree_map(
+            lambda x: x + 0 if hasattr(x, "dtype") else x, t)
+
+    def chain(k):
+        s = copy(state)
+        m = model.init_memory(bs)
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(k):
+            s, m, metrics = step(s, m, prev, cur, gt)
+            loss = metrics["loss"]
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    chain(1)  # compile
+    t1 = chain(2)
+    tn = chain(2 + n)
+    step_s = (tn - t1) / n
+    extra["train_long_ms_per_step_bs4"] = round(step_s * 1e3, 1)
+    extra["train_long_frames_per_s_bs4"] = round(bs / step_s, 1)
+    print(f"# long train bs={bs}: {step_s * 1e3:.1f} ms/step -> "
+          f"{bs / step_s:.1f} frames/s")
+
+
+def bench_stream512(extra, clips=4, n=10):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from emip_tpu.models.emip_long import EMIPLong
+    from emip_tpu.models.emip_short import EMIPShortConfig
+
+    size = 512
+    cfg = EMIPShortConfig(inp_size=size)
+    model = EMIPLong(config=cfg, memory_size=5, dtype=jnp.bfloat16)
+
+    img = jnp.zeros((clips, size, size, 3), jnp.float32)
+    mem = model.init_memory(clips)
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), img, img, mem, False)
+    )()
+
+    @jax.jit
+    def step(variables, prev, cur, mem):
+        mask, _, new_mem = model.apply(variables, prev, cur, mem, False)
+        eps = jnp.tanh(jnp.mean(mask)) * 1e-6
+        return cur + eps, new_mem, jnp.mean(mask)
+
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.standard_normal((clips, size, size, 3)), jnp.float32)
+    f1 = jnp.asarray(rng.standard_normal((clips, size, size, 3)), jnp.float32)
+
+    def run(k):
+        prev, cur, m = f0, f1, mem
+        s = None
+        for _ in range(k):
+            nxt, m, s = step(variables, prev, cur, m)
+            prev, cur = cur, nxt
+        return float(s)
+
+    run(2)
+    t0 = time.perf_counter()
+    run(3)
+    t1 = time.perf_counter()
+    run(3 + n)
+    t2 = time.perf_counter()
+    step_s = ((t2 - t1) - (t1 - t0)) / n
+    extra["stream512_frames_per_s_4clip"] = round(clips / step_s, 2)
+    print(f"# 512^2 streaming, {clips} clips: {step_s * 1e3:.1f} ms/frame -> "
+          f"{clips / step_s:.2f} aggregate frames/s")
+
+
 def main():
-    fps, bs = bench()
+    extra = {}
+    fps, bs = bench_inference(extra)
+
+    for name, fn in (
+        ("train_short", bench_train_short),
+        ("train_long", bench_train_long),
+        ("stream512", bench_stream512),
+    ):
+        if os.environ.get("BENCH_SKIP_" + name.upper()):
+            continue
+        try:
+            fn(extra)
+        except Exception:
+            print(f"# {name} sub-benchmark FAILED:")
+            traceback.print_exc()
+            extra[name + "_error"] = True
+
     print(json.dumps({
         "metric": "frames/sec/chip, EMIP-short two-stream inference "
                   "@352^2 bf16 (best batch={})".format(bs),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS_ESTIMATE, 2),
+        "extra_metrics": extra,
     }))
 
 

@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Training-dynamics A/B: torch reference vs EMIP-TPU from identical init.
+
+Trains BOTH implementations for N steps on the SAME synthetic data from the
+SAME converted initial weights with the reference's exact hyperparameters
+(AdamW lr=1e-5, wd=1e-7, element-wise grad clamp 0.5 — configs.yaml:62-68,
+train.py:380, utils/utils.py:1-11; loss assembly train.py:52-58), and
+records the loss trajectories. Together with tests/test_grad_parity.py
+(exact per-leaf gradient parity at step 0) this is the "trains the same"
+evidence reachable without real datasets.
+
+Synthetic data: gaussian-smoothed background + a textured disc that SHIFTS
+between the two frames (so the photometric flow loss has real motion to
+learn) and is the segmentation target. A fixed pool of batches is cycled.
+
+Model scale: full glue shapes (352^2, 128-d, 1936 tokens) with PVT depths
+reduced to (1,1,2,1) — the same reduction as every whole-model oracle test;
+this box is a single CPU core, full b5 would take days.
+
+Known negligible divergence: torch AdamW skips params whose grad is None
+(the checkpointed-but-dead modules); optax applies weight decay to every
+trainable leaf. At wd=1e-7 this is ~1e-5 relative drift over 200 steps.
+
+Usage: python tools/ab_training_curves.py [--steps 200] [--bs 2]
+       [--out artifacts/ab_curves]
+Writes <out>.json and (if matplotlib exists) <out>.png.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEPTHS = (1, 1, 2, 1)
+SIZE = 352
+LR, WD, CLIP = 1e-5, 1e-7, 0.5
+IMAGENET_MEAN = [0.485, 0.456, 0.406]
+IMAGENET_STD = [0.229, 0.224, 0.225]
+
+
+def _smooth(img, k=9, n=2):
+    import numpy as np
+
+    for _ in range(n):
+        c = np.cumsum(img, axis=0)
+        img = (np.roll(c, -k, 0) - c) / k
+        c = np.cumsum(img, axis=1)
+        img = (np.roll(c, -k, 1) - c) / k
+    return img
+
+
+def make_batches(n_batches, bs, rng):
+    """Deterministic pool of (img1, img2, gt) with real inter-frame motion."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    batches = []
+    for _ in range(n_batches):
+        i1 = np.empty((bs, SIZE, SIZE, 3), np.float32)
+        i2 = np.empty((bs, SIZE, SIZE, 3), np.float32)
+        gt = np.empty((bs, SIZE, SIZE, 1), np.float32)
+        for b in range(bs):
+            bg = _smooth(rng.standard_normal((SIZE, SIZE, 3)), 9, 2) * 2.0
+            tex = _smooth(rng.standard_normal((SIZE, SIZE, 3)), 5, 1) * 3.0
+            cy, cx = rng.integers(100, SIZE - 100, 2)
+            r = int(rng.integers(30, 70))
+            dy, dx = rng.integers(-8, 9, 2)
+            m1 = ((yy - cy) ** 2 + (xx - cx) ** 2 < r * r)[..., None]
+            m2 = ((yy - cy - dy) ** 2 + (xx - cx - dx) ** 2 < r * r)[..., None]
+            tex2 = np.roll(tex, (dy, dx), (0, 1))
+            f1 = np.where(m1, tex, bg)
+            f2 = np.where(m2, tex2, bg)
+            # [0,1]-ish then ImageNet-normalize like the loader
+            f1 = (np.tanh(f1) + 1) / 2
+            f2 = (np.tanh(f2) + 1) / 2
+            i1[b] = (f1 - IMAGENET_MEAN) / IMAGENET_STD
+            i2[b] = (f2 - IMAGENET_MEAN) / IMAGENET_STD
+            gt[b] = m1.astype(np.float32)
+        batches.append((i1, i2, gt))
+    return batches
+
+
+def build_oracle():
+    import torch
+
+    from tests.ref_oracle import (
+        import_reference,
+        make_reduced_b5_factory,
+        reference_model_args,
+    )
+
+    model_mod = import_reference("model.EMIP_short.model")
+    pvt_v2, factory = make_reduced_b5_factory(DEPTHS)
+    orig = pvt_v2.pvt_v2_b5
+    pvt_v2.pvt_v2_b5 = factory
+    try:
+        torch.manual_seed(0)
+        model = model_mod.CoUpdater(reference_model_args())
+    finally:
+        pvt_v2.pvt_v2_b5 = orig
+    for m in model.modules():
+        if type(m).__name__ == "DropPath":
+            m.drop_prob = 0.0  # deterministic A/B
+    model.train()
+    for name, p in model.named_parameters():
+        if "GMFlow" in name and "dwconv" not in name and "adaptor" not in name:
+            p.requires_grad = False
+    return model
+
+
+def run_torch(model, batches, steps):
+    import torch
+
+    from tests.ref_oracle import import_reference
+
+    loss_pred_mod = import_reference("loss.loss_pred")
+    loss_flow_mod = import_reference("loss.loss_flow")
+    flow_loss = loss_flow_mod.unFlowLoss()
+
+    opt = torch.optim.AdamW(
+        filter(lambda p: p.requires_grad, model.parameters()),
+        LR, weight_decay=WD,
+    )
+    hist = {"loss": [], "loss_pred": [], "loss_flow": []}
+    t0 = time.time()
+    for s in range(steps):
+        i1, i2, gt = batches[s % len(batches)]
+        t1 = torch.from_numpy(i1).permute(0, 3, 1, 2)
+        t2 = torch.from_numpy(i2).permute(0, 3, 1, 2)
+        tg = torch.from_numpy(gt).permute(0, 3, 1, 2)
+        opt.zero_grad()
+        preds = model(t1, t2)
+        lp = loss_pred_mod.hybrid_e_loss(preds[0], tg)
+        pair = torch.cat((t1, t2), dim=1)
+        flows = [torch.cat((preds[1][i], preds[2][i]), dim=1)
+                 for i in range(len(preds[1]))]
+        lf = flow_loss.compute_loss(flows, pair)[0]
+        loss = lp + lf
+        loss.backward()
+        # reference clip_gradient: element-wise value clamp (utils.py:8-11)
+        for group in opt.param_groups:
+            for p in group["params"]:
+                if p.grad is not None:
+                    p.grad.data.clamp_(-CLIP, CLIP)
+        opt.step()
+        hist["loss"].append(float(loss))
+        hist["loss_pred"].append(float(lp))
+        hist["loss_flow"].append(float(lf))
+        print(f"[torch {s + 1}/{steps}] loss={float(loss):.4f} "
+              f"pred={float(lp):.4f} flow={float(lf):.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    return hist
+
+
+def run_jax(sd, batches, steps):
+    import jax
+    import jax.numpy as jnp
+
+    from emip_tpu.convert.torch_import import convert_emip_short_state
+    from emip_tpu.models.backbones import register_backbone
+    from emip_tpu.models.emip_short import EMIPShort, EMIPShortConfig
+    from emip_tpu.models.pvt_v2 import PVTv2, PVTv2Config
+    from emip_tpu.train.short import make_short_train_step
+    from emip_tpu.train.state import (
+        GMFLOW_FREEZE,
+        TrainState,
+        build_optimizer,
+    )
+
+    pvt_cfg = PVTv2Config(depths=DEPTHS, remat=False, drop_path_rate=0.0)
+    register_backbone(
+        "pvt_v2_b5_reduced_ab",
+        lambda dtype: PVTv2(config=pvt_cfg, dtype=dtype),
+        pvt_cfg.embed_dims,
+    )
+    model = EMIPShort(config=EMIPShortConfig(
+        backbone_name="pvt_v2_b5_reduced_ab", inp_size=SIZE))
+    variables = convert_emip_short_state(sd, depths=DEPTHS)
+
+    tx = build_optimizer(learning_rate=LR, weight_decay=WD, clip_value=CLIP)
+    state = TrainState.create(variables, tx, GMFLOW_FREEZE)
+    step = make_short_train_step(model, tx, donate=False)
+
+    hist = {"loss": [], "loss_pred": [], "loss_flow": []}
+    t0 = time.time()
+    key = jax.random.PRNGKey(0)
+    for s in range(steps):
+        i1, i2, gt = batches[s % len(batches)]
+        batch = dict(image1=jnp.asarray(i1), image2=jnp.asarray(i2),
+                     gt=jnp.asarray(gt))
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, batch, sk)
+        for k in hist:
+            hist[k].append(float(metrics[k]))
+        print(f"[jax {s + 1}/{steps}] loss={hist['loss'][-1]:.4f} "
+              f"pred={hist['loss_pred'][-1]:.4f} "
+              f"flow={hist['loss_flow'][-1]:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    return hist
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--bs", type=int, default=2)
+    ap.add_argument("--pool", type=int, default=8, help="distinct batches")
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
+                                                  "ab_curves"))
+    ap.add_argument("--side", choices=["both", "torch", "jax"],
+                    default="both")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    rng = np.random.default_rng(42)
+    batches = make_batches(args.pool, args.bs, rng)
+
+    oracle = build_oracle()
+    sd = {k: v.clone() for k, v in oracle.state_dict().items()}
+
+    result = {"steps": args.steps, "bs": args.bs, "lr": LR, "wd": WD,
+              "clip": CLIP, "depths": list(DEPTHS)}
+    if args.side in ("both", "torch"):
+        result["torch"] = run_torch(oracle, batches, args.steps)
+    if args.side in ("both", "jax"):
+        result["jax"] = run_jax(sd, batches, args.steps)
+
+    with open(args.out + ".json", "w") as f:
+        json.dump(result, f)
+    print(f">>> wrote {args.out}.json")
+
+    if "torch" in result and "jax" in result:
+        t = np.asarray(result["torch"]["loss"])
+        j = np.asarray(result["jax"]["loss"])
+        w = max(1, args.steps // 10)
+        print(f">>> first-step loss: torch {t[0]:.4f} vs jax {j[0]:.4f}")
+        print(f">>> final-{w}-step mean: torch {t[-w:].mean():.4f} "
+              f"vs jax {j[-w:].mean():.4f}")
+        print(f">>> max |Δ| over trajectory: {np.abs(t - j).max():.4f}")
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+        for ax, k in zip(axes, ("loss", "loss_pred", "loss_flow")):
+            for side, style in (("torch", "-"), ("jax", "--")):
+                if side in result:
+                    ax.plot(result[side][k], style, label=side)
+            ax.set_title(k)
+            ax.set_xlabel("step")
+            ax.legend()
+        fig.suptitle(
+            f"EMIP short-model training A/B (identical init/data/hparams, "
+            f"bs={args.bs}, depths={DEPTHS})")
+        fig.tight_layout()
+        fig.savefig(args.out + ".png", dpi=110)
+        print(f">>> wrote {args.out}.png")
+    except Exception as e:  # matplotlib optional
+        print(f"# no plot: {e}")
+
+
+if __name__ == "__main__":
+    main()
