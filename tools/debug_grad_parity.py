@@ -80,7 +80,9 @@ def run_torch():
     flows = [torch.cat((preds[1][i], preds[2][i]), dim=1)
              for i in range(len(preds[1]))]
     loss_flow = loss_flow_mod.unFlowLoss().compute_loss(flows, pair)
-    loss = loss_pred + loss_flow[0]
+    which = os.environ.get("GRADPAR_LOSS", "both")
+    loss = {"both": loss_pred + loss_flow[0], "pred": loss_pred,
+            "flow": loss_flow[0]}[which]
     loss.backward()
 
     grads = {
@@ -91,7 +93,7 @@ def run_torch():
     torch.save(
         {"sd": sd, "grads": grads,
          "losses": [float(loss), float(loss_pred), float(loss_flow[0])]},
-        os.path.join(WORK, "torch.pt"),
+        os.path.join(WORK, "torch_%s.pt" % os.environ.get("GRADPAR_LOSS", "both")),
     )
     print("losses", [float(loss), float(loss_pred), float(loss_flow[0])])
 
@@ -119,7 +121,11 @@ def run_jax():
         partition_params,
     )
 
-    blob = torch.load(os.path.join(WORK, "torch.pt"), weights_only=False)
+    which = os.environ.get("GRADPAR_LOSS", "both")
+    tp = os.path.join(WORK, f"torch_{which}.pt")
+    if not os.path.exists(tp):
+        tp = os.path.join(WORK, "torch.pt")
+    blob = torch.load(tp, weights_only=False)
     sd = blob["sd"]
 
     # GRADPAR_KERNELS: comma list of kernels left ON among
@@ -196,7 +202,8 @@ def run_jax():
         )
         lp = hybrid_e_loss(mask, jg)
         lf, _, _ = unsup_flow_loss(list(zip(flow_fw, flow_bw)), j1, j2)
-        return lp + lf, (lp, lf)
+        total = {"both": lp + lf, "pred": lp, "flow": lf}[which]
+        return total, (lp, lf)
 
     (loss, (lp, lf)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(trainable)
@@ -204,7 +211,8 @@ def run_jax():
 
     flat = {"/".join(k): np.asarray(v)
             for k, v in traverse_util.flatten_dict(grads).items()}
-    tag = os.environ.get("GRADPAR_KERNELS", "all").replace(",", "-") or "none"
+    tag = (os.environ.get("GRADPAR_KERNELS", "all").replace(",", "-") or "none")
+    tag += "_" + which
     np.savez(os.path.join(WORK, f"jax_{tag}.npz"),
              **flat, __losses=np.asarray([float(loss), float(lp), float(lf)]))
 
@@ -538,7 +546,11 @@ def compare():
     from emip_tpu.convert.torch_import import convert_emip_short_state
     from emip_tpu.train.state import GMFLOW_FREEZE, partition_params
 
-    blob = torch.load(os.path.join(WORK, "torch.pt"), weights_only=False)
+    which = os.environ.get("GRADPAR_LOSS", "both")
+    tp = os.path.join(WORK, f"torch_{which}.pt")
+    if not os.path.exists(tp):
+        tp = os.path.join(WORK, "torch.pt")
+    blob = torch.load(tp, weights_only=False)
     sd, tg = blob["sd"], blob["grads"]
     tag = (sys.argv[2] if len(sys.argv) > 2
            else os.environ.get("GRADPAR_KERNELS", "all").replace(",", "-"))
