@@ -55,16 +55,60 @@ def shard_batch(batch, mesh: Mesh):
     )
 
 
+def _distributed_env(environ=None) -> bool:
+    """True when env vars indicate a multi-process launch (no backend touch)."""
+    import os
+
+    env = os.environ if environ is None else environ
+    if env.get("JAX_COORDINATOR_ADDRESS") or env.get("COORDINATOR_ADDRESS"):
+        return True
+    if int(env.get("SLURM_NTASKS") or 1) > 1:
+        return True
+    if int(env.get("WORLD_SIZE") or 1) > 1:  # torchrun-style rendezvous
+        return True
+    return False
+
+
+_initialized = False
+
+
 def init_distributed(**kwargs) -> None:
     """Multi-host bootstrap (DCN). No-op in single-process runs.
 
     TPU-native replacement for the reference's SLURM/torchrun + NCCL
-    rendezvous (train.py:185-219).
+    rendezvous (train.py:185-219). The multi-process environment is
+    detected from env vars or explicit kwargs BEFORE any backend access:
+    probing the backend first (e.g. via ``jax.process_count()``) would
+    initialize it locally, after which ``jax.distributed.initialize`` is
+    forbidden — exactly the silent-degrade-to-N-independent-runs failure
+    mode this function must not have. Misconfiguration therefore raises.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        # single-process / already-initialized runs are fine
-        pass
+    global _initialized
+    if _initialized:
+        return
+
+    import os
+
+    env = os.environ
+    if not kwargs:
+        if not _distributed_env():
+            return  # plain single-process run
+        if (
+            int(env.get("WORLD_SIZE") or 1) > 1
+            and not env.get("JAX_COORDINATOR_ADDRESS")
+            and not env.get("COORDINATOR_ADDRESS")
+            and int(env.get("SLURM_NTASKS") or 1) <= 1
+        ):
+            # torchrun-style env (reference train.py:209-210): map it onto
+            # the JAX rendezvous explicitly; initialize() only auto-detects
+            # SLURM / cloud-TPU metadata.
+            kwargs = dict(
+                coordinator_address="{}:{}".format(
+                    env.get("MASTER_ADDR", "localhost"),
+                    env.get("MASTER_PORT", "12355"),
+                ),
+                num_processes=int(env["WORLD_SIZE"]),
+                process_id=int(env.get("RANK", "0")),
+            )
+    jax.distributed.initialize(**kwargs)  # raises on misconfiguration
+    _initialized = True
