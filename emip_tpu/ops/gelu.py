@@ -1,0 +1,50 @@
+"""Polynomial GELU: erf-free exact-shape gelu for the TPU VPU.
+
+The exact gelu (``0.5*x*(1+erf(x/sqrt(2)))``) costs ~12 ms per b5 backbone
+call at 352^2/bs=8 in training (fwd + remat recompute + backward; measured
+by tools/profile_pvt_grad.py "gelu->relu" ablation) — XLA lowers erf to a
+long fp32 rational. Since activations are bf16 (quantization ~8e-3
+relative), an approximation far below that noise floor is numerically
+indistinguishable.
+
+Construction: gelu(x) = 0.5*(x + E(x)) with E(x) = x*erf(x/sqrt(2)) EVEN,
+so E is fit once in t = 2*x^2/XMAX^2 - 1 with a degree-8 Chebyshev
+least-squares polynomial on |x| <= 4.25 (coefficients converted to the
+power basis; fit error 4.5e-4). Outside the fit range gelu(x) is
+max(x, 0) to machine precision (|gelu(4.25) - 4.25| ~ 4e-5). Full-curve
+max error 2.3e-4; the analytic derivative (what autodiff produces) has
+~1e-3 max error. Evaluation: 8 fp32 multiply-adds — no transcendentals.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["gelu_poly"]
+
+_XMAX = 4.25
+_UMAX = _XMAX * _XMAX
+# power-basis coefficients in t = 2*x^2/_UMAX - 1 (lowest order first)
+_COEFFS = (
+    2.9971595436497958,
+    1.5371125619116355,
+    -0.4509052452187631,
+    0.31404370133414417,
+    -0.2582279417710611,
+    0.13723008787425578,
+    -0.08286681950003776,
+    0.1362792148561566,
+    -0.0803648018918999,
+)
+
+
+def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact-shape gelu via an even degree-8 polynomial (|err| <= 2.3e-4)."""
+    xf = x.astype(jnp.float32)
+    t = jnp.minimum(xf * xf, _UMAX) * (2.0 / _UMAX) - 1.0
+    e = jnp.float32(_COEFFS[-1])
+    for c in _COEFFS[-2::-1]:
+        e = e * t + jnp.float32(c)
+    inner = 0.5 * (xf + e)
+    out = jnp.where(jnp.abs(xf) >= _XMAX, jnp.maximum(xf, 0.0), inner)
+    return out.astype(x.dtype)

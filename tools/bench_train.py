@@ -27,20 +27,27 @@ SIZE = 352
 def main():
     config = EMIPShortConfig()
     remat = os.environ.get("BENCH_TRAIN_REMAT", "1")  # "0" | "1" | a policy
-    if remat != "1":
+    dwconv = os.environ.get("BENCH_TRAIN_DWCONV", "conv")  # "conv" | "shift"
+    gelu = os.environ.get("BENCH_TRAIN_GELU", "exact")  # "exact" | "poly"
+    if remat != "1" or dwconv != "conv" or gelu != "exact":
         import dataclasses
 
         from emip_tpu.models.backbones import register_backbone
         from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS, PVTv2
 
+        cfg_alt = PVT_V2_VARIANTS["pvt_v2_b5"]
         if remat == "0":
-            cfg_alt = dataclasses.replace(PVT_V2_VARIANTS["pvt_v2_b5"],
-                                          remat=False)
+            cfg_alt = dataclasses.replace(cfg_alt, remat=False)
             print("# remat disabled")
-        else:  # a jax.checkpoint_policies name, e.g. "dots"
-            cfg_alt = dataclasses.replace(PVT_V2_VARIANTS["pvt_v2_b5"],
-                                          remat_policy=remat)
+        elif remat != "1":  # a jax.checkpoint_policies name, e.g. "dots"
+            cfg_alt = dataclasses.replace(cfg_alt, remat_policy=remat)
             print(f"# remat policy: {remat}")
+        if dwconv != "conv":
+            cfg_alt = dataclasses.replace(cfg_alt, ffn_dwconv=dwconv)
+            print(f"# dwconv impl: {dwconv}")
+        if gelu != "exact":
+            cfg_alt = dataclasses.replace(cfg_alt, ffn_gelu=gelu)
+            print(f"# gelu impl: {gelu}")
         register_backbone(
             "pvt_v2_b5_alt",
             lambda dtype: PVTv2(config=cfg_alt, dtype=dtype),

@@ -85,6 +85,52 @@ def main():
     finally:
         pvt.SRAttention.__call__ = orig_attn
 
+    def ffn_relu(self, y, deterministic=True):
+        """fc1 -> dwconv -> RELU -> fc2: isolates the exact-gelu (erf) cost."""
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(y)
+        y = nn.Conv(self.hidden, (3, 3), padding=1,
+                    feature_group_count=self.hidden, dtype=self.dtype,
+                    name="dwconv")(y)
+        y = nn.relu(y)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+    def ffn_identity(self, y, deterministic=True):
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+    for label, fn in (("b5 grad (gelu->relu)", ffn_relu),
+                      ("b5 grad (ffn stubbed)", ffn_identity)):
+        pvt.MixFFN.__call__ = nn.compact(fn)
+        try:
+            bench(label, cfg, x, img)
+        finally:
+            pvt.MixFFN.__call__ = orig_mixffn
+
+    # LayerNorm cost: swap flax LN for a scale+bias only (no stats)
+    orig_block = pvt.PVTBlock.__call__
+
+    def block_no_ln(self, x, drop_path_rate, deterministic=True):
+        attn_out = pvt.SRAttention(
+            self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
+            self.linear, self.attn_drop, self.drop,
+            use_fused=self.fused_attn, dtype=self.dtype, name="attn",
+        )(x, deterministic)
+        x = x + attn_out
+        mlp_out = pvt.MixFFN(
+            self.dim, int(self.dim * self.mlp_ratio), self.linear,
+            self.drop, use_fused=self.fused_ffn, dtype=self.dtype,
+            name="mlp",
+        )(x, deterministic)
+        return x + mlp_out, ()
+
+    # patched __call__ under nn.remat leaks tracers at init; compare against
+    # the no-remat row instead
+    pvt.PVTBlock.__call__ = nn.compact(block_no_ln)
+    try:
+        bench("b5 grad (block LNs stubbed, no remat)",
+              dataclasses.replace(cfg, remat=False), x, img)
+    finally:
+        pvt.PVTBlock.__call__ = orig_block
+
 
 if __name__ == "__main__":
     main()
