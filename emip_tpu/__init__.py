@@ -20,11 +20,20 @@ def _enable_compilation_cache() -> None:
     Remote compiles over the experimental TPU tunnel cost minutes per
     program; the persistent cache turns repeat runs of any entry point,
     tool, or test into sub-second loads (measured 127s -> 0.8s for a
-    trivial jit). Set before any computation is traced; harmless on CPU.
+    trivial jit). Set before any computation is traced.
+
+    CPU-forced runs (JAX_PLATFORM_NAME/JAX_PLATFORMS=cpu) skip the cache:
+    XLA:CPU AOT results bake in the compile host's ISA features, and this
+    environment's VMs migrate between CPU types — a reloaded entry warns
+    "could lead to execution errors such as SIGILL", and one cache *write*
+    segfaulted mid-test-suite. TPU executables have no such host coupling.
     """
     import os
 
     if os.environ.get("EMIP_TPU_NO_COMP_CACHE"):
+        return
+    if "cpu" in (os.environ.get("JAX_PLATFORM_NAME", "")
+                 + os.environ.get("JAX_PLATFORMS", "")).lower():
         return
     try:
         import jax

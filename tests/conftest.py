@@ -10,8 +10,16 @@ alone are too late — but XLA backends initialize lazily, so configuring via
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# FORCE, not setdefault: the harness shell exports JAX_PLATFORMS=axon;
+# subprocess-spawning tests build their env from os.environ and must
+# never inherit the single-client TPU tunnel platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# No persistent compilation cache under pytest: the cache exists to make
+# repeat TPU-tunnel benchmarking cheap; test-suite CPU compiles just bloat
+# it (observed 7GB+/4900 entries), and a cache *write* once segfaulted the
+# interpreter mid-suite (jax 0.9.0, compilation_cache.put_executable_and_time).
+os.environ["EMIP_TPU_NO_COMP_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

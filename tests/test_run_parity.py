@@ -22,9 +22,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 @pytest.mark.skipif(not has_reference(), reason="reference not mounted")
 def test_run_parity_drill(tmp_path):
     out = str(tmp_path / "parity")
-    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
-    env.setdefault("JAX_PLATFORM_NAME", "cpu")
-    env.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu (don't setdefault: the harness shell exports
+    # JAX_PLATFORMS=axon, and a subprocess inheriting it would try the
+    # single-client TPU tunnel)
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
         ["bash", os.path.join(REPO, "run_parity.sh"), "--drill",
          "--out", out],
