@@ -39,6 +39,11 @@ class UnsupFlowLossConfig:
     w_scales: tuple[float, ...] = (1.0, 1.0, 1.0, 1.0, 0.0)
     warp_pad: str = "border"
     with_back: bool = True
+    # gather-table dtype for the photometric warps: None = exact (input
+    # dtype; parity tests rely on it), "bfloat16" halves the bytes of the
+    # dominant TPU gather (the quantization, ~0.4% of ImageNet-normalized
+    # values, only touches the sampled pixels — weights stay fp32)
+    warp_table_dtype: str | None = None
 
 
 def _avg_pool_valid(x: jnp.ndarray, patch: int) -> jnp.ndarray:
@@ -118,8 +123,12 @@ def unsup_flow_loss(
         im1_s = resize_area(im1, (h, w))
         im2_s = resize_area(im2, (h, w))
 
-        im1_recons = flow_warp_loss(im2_s, flow_fw, pad=cfg.warp_pad)
-        im2_recons = flow_warp_loss(im1_s, flow_bw, pad=cfg.warp_pad)
+        tdt = (None if cfg.warp_table_dtype is None
+               else jnp.dtype(cfg.warp_table_dtype))
+        im1_recons = flow_warp_loss(im2_s, flow_fw, pad=cfg.warp_pad,
+                                    table_dtype=tdt)
+        im2_recons = flow_warp_loss(im1_s, flow_bw, pad=cfg.warp_pad,
+                                    table_dtype=tdt)
 
         if i == 0:
             occ1 = 1.0 - occlusion_mask_backward(flow_bw, th=cfg.occ_threshold)

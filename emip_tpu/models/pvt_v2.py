@@ -311,6 +311,10 @@ class MixFFN(nn.Module):
             from emip_tpu.ops.gelu import gelu_poly
 
             return gelu_poly(y)
+        if self.gelu_impl == "poly_native":
+            from emip_tpu.ops.gelu import gelu_poly_native
+
+            return gelu_poly_native(y)
         return nn.gelu(y, approximate=False)
 
     @nn.compact
@@ -323,10 +327,15 @@ class MixFFN(nn.Module):
             and self.drop == 0.0
             and self.use_fused == "always"
         )
+        from jax.ad_checkpoint import checkpoint_name
+
         y = nn.Dense(self.hidden, kernel_init=_trunc, dtype=self.dtype,
                      name="fc1")(x)
         if self.linear:
             y = nn.relu(y)
+        # named so remat policies can save it (skips the fc1 matmul +
+        # dwconv recompute in the backward)
+        y = checkpoint_name(y, "ffn_fc1_out")
         if fuse:
             wdw, bdw = _DWConvParams(self.hidden, name="dwconv")()
             y = fused_dwconv_gelu(
@@ -350,8 +359,6 @@ class MixFFN(nn.Module):
                         feature_group_count=self.hidden, dtype=self.dtype,
                         name="dwconv")(y)
             y = self._gelu(y)
-            from jax.ad_checkpoint import checkpoint_name
-
             # named so remat_policy="save_attn_gelu" can store it
             y = checkpoint_name(y, "ffn_gelu_out")
         if self.drop > 0:
@@ -474,6 +481,11 @@ class PVTv2(nn.Module):
                     policy = (jax.checkpoint_policies
                               .save_only_these_names("sr_attn_out",
                                                      "ffn_gelu_out"))
+                elif cfg.remat_policy == "save_attn_gelu_fc1":
+                    policy = (jax.checkpoint_policies
+                              .save_only_these_names("sr_attn_out",
+                                                     "ffn_gelu_out",
+                                                     "ffn_fc1_out"))
                 elif cfg.remat_policy == "save_gelu":
                     policy = (jax.checkpoint_policies
                               .save_only_these_names("ffn_gelu_out"))

@@ -36,6 +36,7 @@ def bilinear_sample(
     img: jnp.ndarray,
     coords: jnp.ndarray,
     padding_mode: str = "zeros",
+    table_dtype=None,
 ) -> jnp.ndarray:
     """Sample NHWC ``img`` at pixel ``coords`` [N, H', W', 2] (x, y).
 
@@ -56,6 +57,12 @@ def bilinear_sample(
     lays computed tables out 128-lane padded, so per-row fetch cost is the
     tile, not the lanes; optimization_barrier does not recover the leaf
     layout (9.7 ms).
+
+    ``table_dtype`` (e.g. jnp.bfloat16) quantizes the gather table only —
+    corner weights and the weighted sum stay fp32, so only the sampled
+    values carry the quantization (~0.4% relative for ImageNet-normalized
+    images, below bf16-training activation noise). Default None keeps the
+    table in the input dtype (exact; parity tests rely on it).
     """
     n, h, w, c = img.shape
     x = coords[..., 0].astype(jnp.float32)
@@ -80,6 +87,8 @@ def bilinear_sample(
         [xs, jnp.concatenate([xs[:, 1:], xs[:, -1:]], axis=1)], axis=-1
     )
     packed = jnp.pad(packed, ((0, 0), (0, 0), (0, 0), (0, 4)))
+    if table_dtype is not None:
+        packed = packed.astype(table_dtype)
     flat = packed.reshape(n * h * w, 4 * c + 4)
 
     bx = jnp.clip(x0, 0, w - 2).astype(jnp.int32)
@@ -126,6 +135,8 @@ def bilinear_sample(
         wrow0 = wy0 * (y0i == by) + wy1 * (y1i == by)
         wrow1 = wy0 * (y0i == by + 1) + wy1 * (y1i == by + 1)
 
+    if table_dtype is not None:
+        got = got.astype(jnp.float32)
     out = (
         got[..., 0:c] * (wrow0 * wcol0)[..., None]
         + got[..., c : 2 * c] * (wrow0 * wcol1)[..., None]

@@ -30,7 +30,8 @@ __all__ = [
 
 
 def flow_warp_loss(
-    x: jnp.ndarray, flow12: jnp.ndarray, pad: str = "border"
+    x: jnp.ndarray, flow12: jnp.ndarray, pad: str = "border",
+    table_dtype=None,
 ) -> jnp.ndarray:
     """Backward-warp NHWC ``x`` by ``flow12`` [N,H,W,2]; border padding default.
 
@@ -38,7 +39,8 @@ def flow_warp_loss(
     """
     _, h, w, _ = x.shape
     grid = coords_grid(h, w)[None] + flow12
-    return bilinear_sample(x, grid, padding_mode=pad)
+    return bilinear_sample(x, grid, padding_mode=pad,
+                           table_dtype=table_dtype)
 
 
 def forward_splat_density(coords: jnp.ndarray) -> jnp.ndarray:

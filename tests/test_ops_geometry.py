@@ -116,3 +116,19 @@ def test_flow_warp_loss_border_padding():
     got = np.asarray(flow_warp_loss(img, flow, pad="border"))
     want = _torch_grid_sample(img, base, "border")
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bilinear_sample_bf16_table_close():
+    """table_dtype=bf16 quantizes only the sampled values (~0.4% rel)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+    from emip_tpu.ops.warp import flow_warp_loss
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 12, 17, 3)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((2, 12, 17, 2)) * 2.5, jnp.float32)
+    exact = flow_warp_loss(x, f)
+    quant = flow_warp_loss(x, f, table_dtype=jnp.bfloat16)
+    rel = float(jnp.abs(exact - quant).max() / jnp.abs(exact).max())
+    assert rel < 0.01, rel

@@ -24,6 +24,19 @@ trainable leaf. At wd=1e-7 this is ~1e-5 relative drift over 200 steps.
 Usage: python tools/ab_training_curves.py [--steps 200] [--bs 2]
        [--out artifacts/ab_curves]
 Writes <out>.json and (if matplotlib exists) <out>.png.
+
+Split execution (this environment: ONE CPU core makes the jax side ~10x
+slower than torch on CPU, but the real TPU runs it in minutes — while the
+torch reference has no TPU port, so IT must run on CPU):
+    JAX_PLATFORM_NAME=cpu python tools/ab_training_curves.py --side torch \
+        --out artifacts/ab_torch          # torch on CPU
+    python tools/ab_training_curves.py --side jax --out artifacts/ab_jax
+                                          # jax on the TPU, kernels on
+    python tools/ab_training_curves.py --merge artifacts/ab_torch.json \
+        artifacts/ab_jax.json --out artifacts/ab_curves
+Determinism makes the split exact: both sides derive the identical init
+(torch.manual_seed(0) oracle -> state_dict) and identical batch pool
+(default_rng(42)).
 """
 
 from __future__ import annotations
@@ -214,23 +227,38 @@ def main():
                                                   "ab_curves"))
     ap.add_argument("--side", choices=["both", "torch", "jax"],
                     default="both")
+    ap.add_argument("--merge", nargs=2, metavar="JSON",
+                    help="combine a --side torch and a --side jax output")
     args = ap.parse_args()
 
     import numpy as np
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    rng = np.random.default_rng(42)
-    batches = make_batches(args.pool, args.bs, rng)
 
-    oracle = build_oracle()
-    sd = {k: v.clone() for k, v in oracle.state_dict().items()}
+    if args.merge:
+        result = {}
+        for path in args.merge:
+            with open(path) as f:
+                part = json.load(f)
+            for key in ("torch", "jax"):
+                if key in part:
+                    result[key] = part[key]
+            for key in ("steps", "bs", "lr", "wd", "clip", "depths"):
+                assert result.setdefault(key, part[key]) == part[key], (
+                    key, "mismatched run settings between the two sides")
+    else:
+        rng = np.random.default_rng(42)
+        batches = make_batches(args.pool, args.bs, rng)
 
-    result = {"steps": args.steps, "bs": args.bs, "lr": LR, "wd": WD,
-              "clip": CLIP, "depths": list(DEPTHS)}
-    if args.side in ("both", "torch"):
-        result["torch"] = run_torch(oracle, batches, args.steps)
-    if args.side in ("both", "jax"):
-        result["jax"] = run_jax(sd, batches, args.steps)
+        oracle = build_oracle()
+        sd = {k: v.clone() for k, v in oracle.state_dict().items()}
+
+        result = {"steps": args.steps, "bs": args.bs, "lr": LR, "wd": WD,
+                  "clip": CLIP, "depths": list(DEPTHS)}
+        if args.side in ("both", "torch"):
+            result["torch"] = run_torch(oracle, batches, args.steps)
+        if args.side in ("both", "jax"):
+            result["jax"] = run_jax(sd, batches, args.steps)
 
     with open(args.out + ".json", "w") as f:
         json.dump(result, f)

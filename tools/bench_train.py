@@ -61,7 +61,17 @@ def main():
     )()
     tx = build_optimizer()
     state = TrainState.create(variables, tx, GMFLOW_FREEZE)
-    step = make_short_train_step(model, tx, donate=True)
+    wtable = os.environ.get("BENCH_TRAIN_WARP_TABLE")  # e.g. "bfloat16"
+    if wtable:
+        from emip_tpu.losses.flow import UnsupFlowLossConfig
+
+        print(f"# warp table dtype: {wtable}")
+        step = make_short_train_step(
+            model, tx,
+            flow_loss_cfg=UnsupFlowLossConfig(warp_table_dtype=wtable),
+            donate=True)
+    else:
+        step = make_short_train_step(model, tx, donate=True)
 
     rng = np.random.default_rng(0)
     batch = dict(

@@ -46,7 +46,11 @@ def bench(label, cfg, x, img):
         gr = g(v, x)
         return jax.tree_util.tree_leaves(gr)[0]
 
-    t = timed(run, (v, x))
+    try:
+        t = timed(run, (v, x))
+    except Exception as e:  # e.g. no-remat HBM OOM at bs=8
+        print(f"{label:30s} FAILED ({type(e).__name__}: {str(e)[:80]})")
+        return None
     print(f"{label:30s} {t*1e3:7.2f} ms")
     return t
 
