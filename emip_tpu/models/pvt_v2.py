@@ -84,14 +84,17 @@ PVT_V2_VARIANTS = {
 }
 
 # Production defaults for the named variants (round-3 measurements, b5
-# @352^2/bs=8 train step): erf-free poly gelu (-3.7 ms; |err| 2.3e-4,
-# below bf16 activation noise) and a remat policy that saves the
-# SR-attention output + FFN hidden activation per block (-2.8 ms more;
-# 143.9 -> 137.7 combined). Plain ``PVTv2Config(...)`` keeps
+# @352^2/bs=8 train step): erf-free poly gelu evaluated natively in the
+# activation dtype (no fp32 round-trip; in fp32 runs it equals "poly",
+# |err| 2.3e-4; in bf16 the Horner noise is ~3x bf16 rounding — see
+# ops/gelu.py + tests/test_gelu.py) and a remat policy that saves the
+# SR-attention output + FFN hidden activation per block. Measured chain:
+# exact 143.9 -> poly 140.2 -> +save_attn_gelu 137.7 -> poly_native
+# 135.8 ms (3-run means). Plain ``PVTv2Config(...)`` keeps
 # exact-gelu/full-remat defaults — the oracle-parity tests rely on that.
 PVT_V2_VARIANTS = {
     name: dataclasses.replace(
-        cfg, ffn_gelu="poly", remat_policy="save_attn_gelu")
+        cfg, ffn_gelu="poly_native", remat_policy="save_attn_gelu")
     for name, cfg in PVT_V2_VARIANTS.items()
 }
 
@@ -358,6 +361,10 @@ class MixFFN(nn.Module):
             y = nn.Conv(self.hidden, (3, 3), padding=1,
                         feature_group_count=self.hidden, dtype=self.dtype,
                         name="dwconv")(y)
+            # named so remat_policy="save_attn_dwconv" can store it: the
+            # backward then needs NO fc1/dwconv recompute for the gelu VJP
+            # (gelu_out re-derives from this via one cheap elementwise pass)
+            y = checkpoint_name(y, "ffn_dwconv_out")
             y = self._gelu(y)
             # named so remat_policy="save_attn_gelu" can store it
             y = checkpoint_name(y, "ffn_gelu_out")
@@ -393,12 +400,17 @@ class PVTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, drop_path_rate, deterministic: bool = True):
+        from jax.ad_checkpoint import checkpoint_name
+
+        n1 = checkpoint_name(
+            nn.LayerNorm(**_LN, dtype=self.dtype, name="norm1")(x),
+            "norm1_out")
         attn_out = SRAttention(
             self.dim, self.num_heads, self.sr_ratio, self.qkv_bias,
             self.linear, self.attn_drop, self.drop,
             use_fused=self.fused_attn, dtype=self.dtype,
             name="attn",
-        )(nn.LayerNorm(**_LN, dtype=self.dtype, name="norm1")(x), deterministic)
+        )(n1, deterministic)
         if not deterministic:
             attn_out = _drop_path(
                 attn_out, drop_path_rate, deterministic,
@@ -406,11 +418,14 @@ class PVTBlock(nn.Module):
             )
         x = x + attn_out
 
+        n2 = checkpoint_name(
+            nn.LayerNorm(**_LN, dtype=self.dtype, name="norm2")(x),
+            "norm2_out")
         mlp_out = MixFFN(
             self.dim, int(self.dim * self.mlp_ratio), self.linear, self.drop,
             use_fused=self.fused_ffn, dwconv_impl=self.ffn_dwconv,
             gelu_impl=self.ffn_gelu, dtype=self.dtype, name="mlp",
-        )(nn.LayerNorm(**_LN, dtype=self.dtype, name="norm2")(x), deterministic)
+        )(n2, deterministic)
         if not deterministic:
             mlp_out = _drop_path(
                 mlp_out, drop_path_rate, deterministic,
@@ -481,6 +496,19 @@ class PVTv2(nn.Module):
                     policy = (jax.checkpoint_policies
                               .save_only_these_names("sr_attn_out",
                                                      "ffn_gelu_out"))
+                elif cfg.remat_policy == "save_attn_dwconv":
+                    policy = (jax.checkpoint_policies
+                              .save_only_these_names("sr_attn_out",
+                                                     "ffn_dwconv_out"))
+                elif cfg.remat_policy == "save_attn_dwconv_norms":
+                    # + the two (narrow-width) LN outputs: the block
+                    # backward then recomputes only fc1 (for the dwconv
+                    # weight grad) and one elementwise gelu
+                    policy = (jax.checkpoint_policies
+                              .save_only_these_names("sr_attn_out",
+                                                     "ffn_dwconv_out",
+                                                     "norm1_out",
+                                                     "norm2_out"))
                 elif cfg.remat_policy == "save_attn_gelu_fc1":
                     policy = (jax.checkpoint_policies
                               .save_only_these_names("sr_attn_out",
