@@ -121,10 +121,122 @@ def _kernel(x_ref, t_ref, wq_ref, wk_ref, wv_ref, wm_ref, scale_ref,
         out_ref[0, 0] = msg.astype(dt)
 
 
+def _row_tile(tok: int) -> int | None:
+    """q-row tile size for large windows, or None for whole-window.
+
+    Whole-window kernels hold a [T, T] f32 score block in VMEM (4 MB at
+    T=1024, the 512^2 streaming shape) and serialize each window's work
+    into one long grid step. Above ``EMIP_WIN_ROWTILE_MIN_T`` tokens the
+    forward instead tiles q rows over a third grid axis: scores shrink to
+    [RT, T] and row tiles pipeline (k/v are computed once per window into
+    VMEM scratch). T=484 (352^2) has no multiple-of-8 divisor and always
+    stays whole-window.
+    """
+    from emip_tpu.utils.knobs import resolve
+
+    min_t = resolve("win_rowtile_min_t", 1024, env="EMIP_WIN_ROWTILE_MIN_T")
+    if tok < min_t:
+        return None
+    for rt in (256, 128, 64, 32, 16, 8):
+        if tok % rt == 0 and rt < tok:
+            return rt
+    return None
+
+
+def _kernel_rows(x_ref, t_ref, wq_ref, wk_ref, wv_ref, wm_ref, scale_ref,
+                 bias_ref, mask_ref, out_ref, kv_ref, *, inv_sqrt_c,
+                 with_mask, add_residual):
+    """Row-tiled twin of :func:`_kernel` — grid (b, k2, T/RT).
+
+    k/v for the window are projected once at the first row tile into VMEM
+    scratch (persistent across sequential grid steps) and reused by the
+    remaining tiles; softmax/LN/residual are row-local so each tile is
+    independent given k/v.
+    """
+    x = x_ref[0, 0]  # [RT, C]
+    t = t_ref[0, 0]  # [T, C] (block index constant in r: fetched once)
+    dt = x.dtype
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        kv_ref[0] = jnp.dot(t, wk_ref[:].astype(dt),
+                            preferred_element_type=jnp.float32)
+        kv_ref[1] = jnp.dot(t, wv_ref[:].astype(dt),
+                            preferred_element_type=jnp.float32)
+
+    q = jnp.dot(x, wq_ref[:].astype(dt), preferred_element_type=jnp.float32)
+    k = kv_ref[0]
+    v = kv_ref[1]
+
+    scores = jnp.dot(q.astype(dt), k.astype(dt).T,
+                     preferred_element_type=jnp.float32) * inv_sqrt_c
+    if with_mask:
+        scores = scores + mask_ref[0]
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - smax)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    o = jnp.dot(p.astype(dt), v.astype(dt),
+                preferred_element_type=jnp.float32)
+    m = jnp.dot(o.astype(dt), wm_ref[:].astype(dt),
+                preferred_element_type=jnp.float32)
+
+    mu = jnp.mean(m, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(m - mu), axis=-1, keepdims=True)
+    msg = (m - mu) * jax.lax.rsqrt(var + _EPS) * scale_ref[:] + bias_ref[:]
+    if add_residual:
+        out_ref[0, 0] = x + msg.astype(dt)
+    else:
+        out_ref[0, 0] = msg.astype(dt)
+
+
+def _forward_pallas_rows(x, t, wq, wk, wv, wm, scale, bias, mask,
+                         add_residual, rt):
+    b, k2, tok, c = x.shape
+    with_mask = mask.shape[-1] == tok
+
+    kernel = functools.partial(
+        _kernel_rows, inv_sqrt_c=1.0 / (c**0.5), with_mask=with_mask,
+        add_residual=add_residual,
+    )
+    row_spec = pl.BlockSpec((1, 1, rt, c), lambda i, j, r: (i, j, r, 0),
+                            memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, 1, tok, c), lambda i, j, r: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((c, c), lambda i, j, r: (0, 0),
+                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((c,), lambda i, j, r: (0,),
+                            memory_space=pltpu.VMEM)
+    if with_mask:
+        mask_spec = pl.BlockSpec((1, rt, tok), lambda i, j, r: (j, r, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_spec = pl.BlockSpec((1, 1, 1), lambda i, j, r: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, k2, tok // rt),
+        in_specs=[row_spec, full_spec, w_spec, w_spec, w_spec, w_spec,
+                  vec_spec, vec_spec, mask_spec],
+        out_specs=row_spec,
+        scratch_shapes=[pltpu.VMEM((2, tok, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(x, t, wq, wk, wv, wm, scale, bias, mask)
+
+
 def _forward_pallas(x, t, wq, wk, wv, wm, scale, bias, mask, add_residual):
     b, k2, tok, c = x.shape
     # a real mask is [K2, T, T]; the no-mask placeholder is [1, 1, 1]
     with_mask = mask.shape[-1] == tok
+
+    rt = _row_tile(tok)
+    if rt is not None:
+        return _forward_pallas_rows(x, t, wq, wk, wv, wm, scale, bias, mask,
+                                    add_residual, rt)
 
     kernel = functools.partial(
         _kernel, inv_sqrt_c=1.0 / (c**0.5), with_mask=with_mask,
@@ -607,9 +719,103 @@ def _ffn_specs(x, t, w0a, w2, mask):
                                      vec=vec)
 
 
+def _ffn_kernel_rows(x_ref, t_ref, wq_ref, wk_ref, wv_ref, wm_ref, s1_ref,
+                     b1_ref, w0a_ref, w0b_ref, w2_ref, s2_ref, b2_ref,
+                     mask_ref, out_ref, kv_ref, *, inv_sqrt_c, with_mask):
+    """Row-tiled twin of :func:`_ffn_kernel` — grid (b, k2, T/RT).
+
+    Attention + concat-FFN + both LayerNorms are row-local given the
+    window's k/v, which are projected once per window into f32 VMEM
+    scratch at the first row tile (same pattern as :func:`_kernel_rows`).
+    """
+    x = x_ref[0, 0].astype(jnp.float32)  # [RT, C]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        t = t_ref[0, 0].astype(jnp.float32)
+        kv_ref[0] = jnp.dot(t, wk_ref[:].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+        kv_ref[1] = jnp.dot(t, wv_ref[:].astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+
+    q = jnp.dot(x, wq_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    scores = jax.lax.dot_general(
+        q, kv_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * inv_sqrt_c
+    if with_mask:
+        scores = scores + mask_ref[0]
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - smax)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, kv_ref[1], preferred_element_type=jnp.float32)
+    m = jnp.dot(o, wm_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    mu1 = jnp.mean(m, axis=-1, keepdims=True)
+    var1 = jnp.mean(jnp.square(m - mu1), axis=-1, keepdims=True)
+    msg = (m - mu1) * jax.lax.rsqrt(var1 + _EPS) * s1_ref[:] + b1_ref[:]
+
+    u = (
+        jnp.dot(x, w0a_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+        + jnp.dot(msg, w0b_ref[:].astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    )
+    y = _gelu_exact(u)
+    z = jnp.dot(y, w2_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    mu2 = jnp.mean(z, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(z - mu2), axis=-1, keepdims=True)
+    xhat2 = (z - mu2) * jax.lax.rsqrt(var2 + _EPS)
+    out_ref[0, 0] = (x + xhat2 * s2_ref[:] + b2_ref[:]).astype(out_ref.dtype)
+
+
+def _ffn_forward_pallas_rows(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2,
+                             b2, mask, rt):
+    b, k2, tok, c = x.shape
+    f = w0a.shape[-1]
+    with_mask = mask.shape[-1] == tok
+    kernel = functools.partial(_ffn_kernel_rows, inv_sqrt_c=1.0 / (c**0.5),
+                               with_mask=with_mask)
+    row = pl.BlockSpec((1, 1, rt, c), lambda i, j, r: (i, j, r, 0),
+                       memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, 1, tok, c), lambda i, j, r: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wcc = pl.BlockSpec((c, c), lambda i, j, r: (0, 0),
+                       memory_space=pltpu.VMEM)
+    wcf = pl.BlockSpec((c, f), lambda i, j, r: (0, 0),
+                       memory_space=pltpu.VMEM)
+    wfc = pl.BlockSpec((f, c), lambda i, j, r: (0, 0),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((c,), lambda i, j, r: (0,), memory_space=pltpu.VMEM)
+    if with_mask:
+        msk = pl.BlockSpec((1, rt, tok), lambda i, j, r: (j, r, 0),
+                           memory_space=pltpu.VMEM)
+    else:
+        msk = pl.BlockSpec((1, 1, 1), lambda i, j, r: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, k2, tok // rt),
+        in_specs=[row, full, wcc, wcc, wcc, wcc, vec, vec, wcf, wcf, wfc,
+                  vec, vec, msk],
+        out_specs=row,
+        scratch_shapes=[pltpu.VMEM((2, tok, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2, mask)
+
+
 def _ffn_forward_pallas(x, t, wq, wk, wv, wm, s1, b1, w0a, w0b, w2, s2, b2,
                         mask):
     b, k2, tok, c = x.shape
+    rt = _row_tile(tok)
+    if rt is not None:
+        return _ffn_forward_pallas_rows(x, t, wq, wk, wv, wm, s1, b1, w0a,
+                                        w0b, w2, s2, b2, mask, rt)
     with_mask, in_specs, _ = _ffn_specs(x, t, w0a, w2, mask)
     kernel = functools.partial(_ffn_kernel, inv_sqrt_c=1.0 / (c**0.5),
                                with_mask=with_mask)

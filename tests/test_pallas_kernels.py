@@ -281,3 +281,58 @@ def test_fused_sr_attention_in_pvt_scan():
                       jax.tree_util.tree_leaves(gf)):
         np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
                                    rtol=1e-3, atol=2e-3)
+
+
+def test_row_tiled_window_attention_matches_whole_window(monkeypatch):
+    """Forcing the large-T row-tiled forward (q-row grid axis + k/v VMEM
+    scratch) reproduces the whole-window kernels and the XLA reference,
+    masked and unmasked, for both the plain layer and the concat-FFN
+    layer."""
+    from emip_tpu.ops.pallas import window_attention as wa
+
+    rng = np.random.default_rng(21)
+    b, k2, tok, c = 2, 4, 16, 32
+    f = 2 * c
+    arr = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x, t = arr(b, k2, tok, c), arr(b, k2, tok, c)
+    wq, wk, wv, wm = arr(c, c), arr(c, c), arr(c, c), arr(c, c)
+    s1, b1, s2, b2 = arr(c), arr(c), arr(c), arr(c)
+    w0, w2 = arr(2 * c, f), arr(f, c)
+    mask = jnp.asarray(rng.standard_normal((k2, tok, tok)), jnp.float32)
+
+    monkeypatch.setenv("EMIP_WIN_ROWTILE_MIN_T", "16")
+    assert wa._row_tile(tok) == 8
+
+    for add_residual in (True, False):
+        for m in (None, mask):
+            want = wa._xla_reference(
+                x, t, wq, wk, wv, wm, s1, b1,
+                m if m is None else m, add_residual)
+            got = wa.fused_window_attention_layer(
+                x, t, wq, wk, wv, wm, s1, b1, m, add_residual=add_residual)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    for m in (None, mask):
+        got_rt = wa.fused_window_attention_ffn_layer(
+            x, t, wq, wk, wv, wm, s1, b1, w0, w2, s2, b2, m)
+        monkeypatch.setenv("EMIP_WIN_ROWTILE_MIN_T", "4096")
+        want_ww = wa.fused_window_attention_ffn_layer(
+            x, t, wq, wk, wv, wm, s1, b1, w0, w2, s2, b2, m)
+        monkeypatch.setenv("EMIP_WIN_ROWTILE_MIN_T", "16")
+        np.testing.assert_allclose(np.asarray(got_rt), np.asarray(want_ww),
+                                   rtol=1e-4, atol=1e-4)
+
+    # grads flow through the (unchanged) whole-window backward kernel; this
+    # checks the custom-VJP plumbing with a row-tiled forward in fwd()
+    def loss(x, t, wq):
+        out = wa.fused_window_attention_ffn_layer(
+            x, t, wq, wk, wv, wm, s1, b1, w0, w2, s2, b2, mask)
+        return jnp.sum(out**2)
+
+    g_rt = jax.grad(loss, argnums=(0, 1, 2))(x, t, wq)
+    monkeypatch.setenv("EMIP_WIN_ROWTILE_MIN_T", "4096")
+    g_ww = jax.grad(loss, argnums=(0, 1, 2))(x, t, wq)
+    for a, b_ in zip(g_rt, g_ww):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
