@@ -21,7 +21,7 @@ import numpy as np
 from emip_tpu.models.emip_short import EMIPShort, EMIPShortConfig
 
 BS = int(os.environ.get("BS", "8"))
-SIZE = 352
+SIZE = int(os.environ.get("SIZE", "352"))
 
 
 from tools._timing import timed as _timed
