@@ -289,7 +289,36 @@ def bench_stream512(extra, clips=4, n=10):
           f"{clips / step_s:.2f} aggregate frames/s")
 
 
+def _device_watchdog(
+        timeout_s: float = float(os.environ.get(
+            "BENCH_DEVICE_TIMEOUT_S", "900"))):
+    """Fail fast (exit 2) if the TPU backend can't initialize.
+
+    During axon tunnel outages ``jax.devices()`` blocks indefinitely in a
+    connect-retry loop; a hung bench run records nothing. Probe device
+    init on a daemon thread and hard-exit with a diagnostic if it doesn't
+    come up, so the driver sees a clean failure instead of a timeout.
+    """
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"# FATAL: no jax backend after {timeout_s:.0f}s "
+              "(axon tunnel outage?) — aborting bench", file=sys.stderr)
+        os._exit(2)
+
+
 def main():
+    _device_watchdog()
     extra = {}
     fps, bs = bench_inference(extra)
 
