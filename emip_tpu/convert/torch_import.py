@@ -336,6 +336,62 @@ def convert_emip_short_state(
     return t.unflatten()
 
 
+def convert_emip_long_state(
+    sd: dict, depths=(3, 6, 40, 3), num_layers: int = 6,
+    include_dead: bool = True,
+) -> dict:
+    """Full Model_long torch snapshot -> flax variables for EMIPLong.
+
+    Maps the reference module tree of ``model/EMIP_long/model_long.py:52-66``:
+    the frozen ``short_term`` CoUpdater (via :func:`convert_emip_short_state`),
+    the LTM key/value heads + prompt fusion (``LTM.py:80-92``), and the
+    long head (``long_dr`` / ``injector1`` / ``decoder`` / ``dr1``).
+    Dead-in-forward LTM members (``fusion.conv1_m``, ``Decoder``,
+    ``dr1/dr2/dr3`` — LTM.py:88-92 are never reached on the live path) are
+    skipped; ``_merge_into`` reports them as unmatched if present.
+    """
+    sd = normalize_reference_keys(sd)
+    t = _Tree()
+
+    short = {k[len("short_term."):]: v for k, v in sd.items()
+             if k.startswith("short_term.")}
+    if short:
+        conv = convert_emip_short_state(
+            short, depths=depths, num_layers=num_layers,
+            include_dead=include_dead,
+        )
+        for path, val in traverse_util.flatten_dict(conv["params"]).items():
+            t.params[("short_term",) + path] = val
+        for path, val in traverse_util.flatten_dict(
+                conv.get("batch_stats", {})).items():
+            t.stats[("short_term",) + path] = val
+
+    if _has(sd, "LTM."):
+        t.conv("ltm/kv_memory/key", sd, "LTM.KV_M_r4.Key")
+        t.conv("ltm/kv_memory/value", sd, "LTM.KV_M_r4.Value")
+        t.conv("ltm/kv_query/key", sd, "LTM.KV_Q_r4.Key")
+        t.conv("ltm/kv_query/value", sd, "LTM.KV_Q_r4.Value")
+        # fusion: Sequential(conv 128->512, BN, ReLU, conv 512->128)
+        t.conv("ltm/fuse/expand", sd, "LTM.fusion.conv1_fusion.0")
+        t.bn("ltm/fuse/bn", sd, "LTM.fusion.conv1_fusion.1")
+        t.conv("ltm/fuse/project", sd, "LTM.fusion.conv1_fusion.3")
+
+    if _has(sd, "long_dr."):
+        t.dimred("long_dr", sd, "long_dr")
+    if _has(sd, "injector1.transformer"):
+        _injector_into(t, sd, "injector1", "injector1")
+    if _has(sd, "dr1.reduce"):
+        t.dimred("dr1", sd, "dr1")
+    if _has(sd, "decoder."):
+        for name in ("conv_upsample1", "conv_upsample2", "conv_upsample3",
+                     "conv_upsample4", "conv_upsample5", "conv_concat2",
+                     "conv_concat3", "conv4"):
+            t.convbr(f"decoder/{name}", sd, f"decoder.{name}")
+        t.conv("decoder/conv5", sd, "decoder.conv5")
+
+    return t.unflatten()
+
+
 def _merge_into(variables: dict, converted: dict, scope: tuple = ()) -> dict:
     """Overlay converted leaves onto an initialized variable tree.
 
@@ -406,6 +462,33 @@ def maybe_load_reference_weights(variables: dict, cfg) -> dict:
             dict(params={"gmflow": converted["params"]}),
         )
     return variables
+
+
+def maybe_load_reference_weights_long(variables: dict, cfg) -> dict:
+    """Load a torch Model_long snapshot from cfg.load.long_path if present.
+
+    The reference's ``test_long.py:92-100`` loads the published long
+    checkpoint with the 'filter keys present in the model' behavior;
+    :func:`_merge_into` reproduces that.
+    """
+    load = getattr(cfg, "load", None)
+    long_path = getattr(load, "long_path", None) if load else None
+    if not (long_path and os.path.isfile(long_path)):
+        return variables
+    import torch
+
+    depths = (3, 6, 40, 3)
+    try:
+        from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS
+
+        depths = PVT_V2_VARIANTS[cfg.model.backbone_name].depths
+    except KeyError:
+        pass
+    sd = torch.load(long_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    converted = convert_emip_long_state(sd, depths=depths)
+    return _merge_into(variables, converted)
 
 
 def _two_way_attention_into(t: _Tree, sd: dict, src: str, dst: str):

@@ -70,6 +70,10 @@ def build_long_state(cfg: Config, short_variables: dict | None = None):
                            False)
     )()
 
+    from emip_tpu.convert.torch_import import maybe_load_reference_weights_long
+
+    variables = maybe_load_reference_weights_long(variables, cfg)
+
     if short_variables is not None:
         flat = dict(traverse_util.flatten_dict(variables["params"]))
         for path, val in traverse_util.flatten_dict(

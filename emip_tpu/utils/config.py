@@ -34,6 +34,7 @@ class DatasetConfig:
 class LoadConfig:
     path: str | None = None
     flow_path: str | None = None
+    long_path: str | None = None  # torch Model_long snapshot (test_long.py)
     type: str | None = None
 
 
@@ -114,6 +115,7 @@ def load_config(path: str) -> Config:
         load=LoadConfig(
             path=load.get("path"),
             flow_path=load.get("flow_path"),
+            long_path=load.get("long_path"),
             type=load.get("type"),
         ),
         model=_model(raw.get("model", {})),

@@ -103,6 +103,12 @@ def install_stubs() -> None:
 
     mmcv_runner.load_checkpoint = _no_load_checkpoint
     mmcv.runner = mmcv_runner
+
+    # torchvision: EMIP_long/{LTM,helpers}.py import `models` but never use
+    # it on the live path (the STM encoder they'd back is commented out)
+    torchvision = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    torchvision.models = tv_models
     for name, mod in {
         "mmdet": mmdet,
         "mmdet.models": mmdet_models,
@@ -110,6 +116,8 @@ def install_stubs() -> None:
         "mmdet.utils": mmdet_utils,
         "mmcv": mmcv,
         "mmcv.runner": mmcv_runner,
+        "torchvision": torchvision,
+        "torchvision.models": tv_models,
     }.items():
         sys.modules[name] = mod
 
