@@ -40,6 +40,7 @@ val_dataset:
 load:
   path: /weights/Net_epoch_1_4.pth
   flow_path: /weights/gmflow_things-e9887eda.pth
+  long_path: /weights/Net_long_best.pth
   type: COD10K
 model:
   name: EMIP
@@ -86,6 +87,7 @@ epoch_save: 1
     assert cfg.model.backbone_name == "pvt_v2_b5"
     assert cfg.model.gmflow.num_transformer_layers == 6
     assert cfg.load.flow_path.endswith("gmflow_things-e9887eda.pth")
+    assert cfg.load.long_path.endswith("Net_long_best.pth")
     assert cfg.seed == 123
     assert cfg.epoch == 100
 

@@ -59,10 +59,9 @@ def write_config(path, ckpt, flow_ckpt, long_ckpt=None, dtype="float32"):
 load:
   path: {ckpt}
   flow_path: {flow_ckpt}
+{f'  long_path: {long_ckpt}\n' if long_ckpt else ''}\
   type: EMIP
-{f'''load_long:
-  path: {long_ckpt}
-''' if long_ckpt else ''}model:
+model:
   name: EMIP
   args:
     inp_size: 352
@@ -81,7 +80,7 @@ compute_dtype: {dtype}
 """)
 
 
-def drill_assets(work):
+def drill_assets(work, with_long=False):
     """Synthetic reference-format snapshots + synthetic video data."""
     import torch
 
@@ -108,7 +107,20 @@ def drill_assets(work):
                  if k.startswith("GMFlow.")}
         torch.save({"model": gm_sd}, gm)
         print(f">>> wrote {snap} + {gm}")
-    return snap, gm, data_root
+
+    long_snap = None
+    if with_long:
+        long_snap = os.path.join(work, "Net_long_best.pth")
+        if not os.path.isfile(long_snap):
+            long_mod = import_reference("model.EMIP_long.model_long")
+            torch.manual_seed(1)
+            print(">>> constructing reference Model_long (full b5)...",
+                  flush=True)
+            ml = long_mod.Model_long(reference_model_args())
+            torch.save({f"module.{k}": v for k, v in ml.state_dict().items()},
+                       long_snap)
+            print(f">>> wrote {long_snap}")
+    return snap, gm, long_snap, data_root
 
 
 def main():
@@ -124,11 +136,17 @@ def main():
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--drill", action="store_true",
                     help="synthetic assets end-to-end pipeline proof")
+    ap.add_argument("--with-long", action="store_true",
+                    help="with --drill: also synthesize + drive the "
+                         "long-model leg (roughly doubles drill runtime)")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     if args.drill:
-        args.ckpt, args.flow_ckpt, args.data_root = drill_assets(args.out)
+        args.ckpt, args.flow_ckpt, long_snap, args.data_root = drill_assets(
+            args.out, with_long=args.with_long)
+        if long_snap:
+            args.long_ckpt = long_snap
         args.datasets = ["MoCA_test"]
         args.batch_size = 1
     if not (args.ckpt and args.flow_ckpt and args.data_root):
@@ -159,8 +177,9 @@ def main():
                "--data", *data_args, "--save_path", preds]
         if variant == "short":
             cmd += ["--batch_size", str(args.batch_size)]
-        if variant == "long" and args.long_ckpt:
-            cmd += ["--ckpt", args.long_ckpt]
+        # the long variant loads its torch snapshot via the config's
+        # load.long_path (build_long_state -> convert_emip_long_state);
+        # test_long.py's --ckpt is for orbax dirs of OUR trained runs
         print(">>>", " ".join(cmd), flush=True)
         subprocess.run(cmd, check=True, cwd=REPO)
 
