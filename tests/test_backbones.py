@@ -67,3 +67,41 @@ def test_dgnet_shapes():
     assert pc.shape == (1, 64, 64, 1)
     assert pg.shape == (1, 64, 64, 1)
     assert np.isfinite(np.asarray(pc)).all()
+
+
+def test_production_pvt_defaults_track_exact_config():
+    """PVT_V2_VARIANTS production defaults (poly_native GELU +
+    save_attn_gelu remat) must stay numerically equivalent to the plain
+    exact-GELU/full-remat PVTv2Config the oracle-parity tests use: the
+    remat policy may never change values, and the polynomial GELU's
+    |err| <= 2.3e-4 bound must hold through a full backbone forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS, PVTv2, PVTv2Config
+
+    prod_cfg = PVT_V2_VARIANTS["pvt_v2_b0"]
+    assert prod_cfg.ffn_gelu == "poly_native"
+    assert prod_cfg.remat_policy == "save_attn_gelu"
+    exact_cfg = PVTv2Config(
+        depths=prod_cfg.depths, embed_dims=prod_cfg.embed_dims,
+        num_heads=prod_cfg.num_heads, sr_ratios=prod_cfg.sr_ratios,
+        mlp_ratios=prod_cfg.mlp_ratios,
+    )
+    assert exact_cfg.ffn_gelu == "exact" and exact_cfg.remat_policy is None
+    # same param tree: only numerics knobs differ
+    assert dataclasses.replace(
+        prod_cfg, ffn_gelu="exact", remat_policy=None) == exact_cfg
+
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((1, 64, 64, 3)), jnp.float32)
+    variables = PVTv2(config=exact_cfg, dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), x)
+    outs_exact = PVTv2(config=exact_cfg, dtype=jnp.float32).apply(variables, x)
+    outs_prod = PVTv2(config=prod_cfg, dtype=jnp.float32).apply(variables, x)
+    for a, b in zip(outs_exact, outs_prod):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        err = float(jnp.max(jnp.abs(a - b))) / scale
+        assert err < 2e-3, err
