@@ -137,3 +137,91 @@ def test_long_model_parity(oracle, converted):
     )
     # the rolling buffer must hold exactly the two reference memory slots
     assert int(np.asarray(state.valid).sum()) == int(mk.shape[3])
+
+
+def test_long_train_grad_parity(oracle, converted):
+    """Long-trainer gradient parity: torch autograd through Model_long's
+    index>=2 step (hybrid_e_loss on the long mask, memory detached —
+    reference train_long.py:47-58) vs jax.grad over EMIPLong.step's
+    trainable subtree (LTM + long head), from identical converted weights
+    and an identical one-slot memory."""
+    import jax
+    import torch
+    from flax import traverse_util
+
+    from emip_tpu.convert.torch_import import convert_emip_long_state
+    from emip_tpu.losses.seg import hybrid_e_loss
+    from emip_tpu.train.state import (
+        SHORT_TERM_FREEZE,
+        merge_params,
+        partition_params,
+    )
+    from tests.ref_oracle import import_reference
+
+    model, variables = converted
+    ref_loss = import_reference("loss.loss_pred").hybrid_e_loss
+
+    rng = np.random.default_rng(11)
+    frames = rng.standard_normal((3, 3, SIZE, SIZE)).astype(np.float32)
+    gt = (rng.uniform(size=(1, 1, SIZE, SIZE)) > 0.5).astype(np.float32)
+    f = [torch.from_numpy(x) for x in frames]
+
+    # ---- torch: memory from (f0, f1), grads through the (f1, f2) step
+    with torch.no_grad():
+        _, mk, mv = oracle(f[0], f[1], 1, None, None)
+    for p in oracle.parameters():
+        p.grad = None
+    mask2, _, _ = oracle(f[1], f[2], 2, mk.detach(), mv.detach())
+    loss_t = ref_loss(mask2, torch.from_numpy(gt))
+    loss_t.backward()
+    grads_t = {n: p.grad for n, p in oracle.named_parameters()
+               if p.grad is not None}
+    # gradient reach must be exactly the long head (short_term frozen via
+    # the reference's no_grad blocks)
+    assert grads_t and all(not n.startswith("short_term.") for n in grads_t)
+
+    # ---- jax: same memory state, same step, grads over the same subtree
+    jx = np.transpose(frames, (0, 2, 3, 1))[:, None]
+    state = model.init_memory(1)
+    _, _, state = model.apply(variables, jx[0], jx[1], state, False,
+                              method="step")
+    trainable, frozen = partition_params(variables["params"],
+                                         SHORT_TERM_FREEZE)
+    jg = np.transpose(gt, (0, 2, 3, 1))
+
+    def loss_fn(tr):
+        params = merge_params(tr, frozen)
+        mask_long, _, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jx[1], jx[2], state, False, method="step")
+        return hybrid_e_loss(mask_long, jg)
+
+    loss_j, grads_j = jax.value_and_grad(loss_fn)(trainable)
+    np.testing.assert_allclose(float(loss_j), loss_t.item(), rtol=2e-4)
+
+    # convert torch grads through the weight-layout mapping (grads
+    # substitute params; buffers ride along and are ignored)
+    gsd = {n: p.detach() for n, p in oracle.state_dict().items()}
+    gsd.update(grads_t)
+    ref_tree = convert_emip_long_state(gsd, depths=DEPTHS)
+    ref_trainable, _ = partition_params(ref_tree["params"],
+                                        SHORT_TERM_FREEZE)
+
+    got = traverse_util.flatten_dict(grads_j)
+    want = traverse_util.flatten_dict(ref_trainable)
+    assert set(got) == set(want)
+
+    global_scale = max(
+        np.abs(np.asarray(v, np.float64)).max() for v in want.values())
+    floor = 1e-6 * global_scale
+    failures = []
+    for key in sorted(want):
+        w = np.asarray(want[key], np.float64)
+        g = np.asarray(got[key], np.float64)
+        rel = np.abs(g - w).max() / max(np.abs(w).max(), floor)
+        if rel > 8e-2:
+            failures.append(("/".join(key), float(rel)))
+    assert not failures, (
+        f"{len(failures)}/{len(want)} leaves above 8e-2; worst: "
+        + str(sorted(failures, key=lambda t: -t[1])[:8])
+    )
