@@ -84,30 +84,48 @@ class FusePrompt(nn.Module):
 
 
 def memory_read(
-    state: MemoryState, q_key: jnp.ndarray, q_value: jnp.ndarray
+    state: MemoryState, q_key: jnp.ndarray, q_value: jnp.ndarray,
+    impl: str = "fused",
 ) -> jnp.ndarray:
     """Attend query key over all valid memory slots; concat with q_value.
 
     q_key/q_value: [B, H, W, C]. Returns [B, H, W, Cv + Cq].
     (reference: LTM.py:44-68 ``Memory.forward``)
+
+    ``impl="fused"`` (default) runs the softmax-over-time-x-space read as
+    one Pallas kernel (:mod:`emip_tpu.ops.pallas.memory_attention`) so the
+    [B, THW, HW] score/probability tensors — ~335 MB each at 512^2 with a
+    5-slot memory — never touch HBM; ``"xla"`` keeps the reference-shaped
+    einsum chain (testing oracle).
     """
     b, t, h, w, ck = state.keys.shape
     cv = state.values.shape[-1]
     mk = state.keys.reshape(b, t * h * w, ck)
     mv = state.values.reshape(b, t * h * w, cv)
     qk = q_key.reshape(b, h * w, ck)
-
-    logits = jnp.einsum(
-        "bmc,bnc->bmn", mk, qk, preferred_element_type=jnp.float32
-    ) / (ck**0.5)  # [B, THW, HW]
     slot_mask = jnp.repeat(state.valid, h * w, axis=1)  # [B, THW]
-    logits = jnp.where(slot_mask[:, :, None], logits, -1e9)
-    probs = nn.softmax(logits, axis=1)  # over time x space
 
-    mem = jnp.einsum(
-        "bmn,bmc->bnc", probs.astype(mv.dtype), mv,
-        preferred_element_type=jnp.float32,
-    ).reshape(b, h, w, cv)
+    from emip_tpu.utils.knobs import resolve
+
+    if resolve("ltm_read_impl", impl, env="EMIP_LTM_READ") == "fused":
+        from emip_tpu.ops.pallas.memory_attention import (
+            masked_memory_attention,
+        )
+
+        bias = jnp.where(slot_mask, 0.0, -1e9).astype(jnp.float32)
+        mem = masked_memory_attention(
+            qk, mk, mv, bias).reshape(b, h, w, cv)
+    else:
+        logits = jnp.einsum(
+            "bmc,bnc->bmn", mk, qk, preferred_element_type=jnp.float32
+        ) / (ck**0.5)  # [B, THW, HW]
+        logits = jnp.where(slot_mask[:, :, None], logits, -1e9)
+        probs = nn.softmax(logits, axis=1)  # over time x space
+
+        mem = jnp.einsum(
+            "bmn,bmc->bnc", probs.astype(mv.dtype), mv,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h, w, cv)
     return jnp.concatenate([mem.astype(q_value.dtype), q_value], axis=-1)
 
 

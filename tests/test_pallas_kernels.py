@@ -1,6 +1,8 @@
 """Fused Pallas kernel tests (interpret mode on CPU): forward parity vs the
 XLA composition and gradient parity through the custom VJP."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -336,3 +338,39 @@ def test_row_tiled_window_attention_matches_whole_window(monkeypatch):
     for a, b_ in zip(g_rt, g_ww):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_masked_memory_attention_matches_xla_read():
+    """The fused LTM memory read (Pallas) == the reference-shaped XLA
+    einsum chain, forward and gradients, including invalid (masked)
+    ring-buffer slots."""
+    from emip_tpu.models.ltm import MemoryState, memory_read
+
+    rng = np.random.default_rng(23)
+    b, t, h, w, ck, cv = 2, 4, 4, 8, 16, 24
+    keys = jnp.asarray(rng.standard_normal((b, t, h, w, ck)), jnp.float32)
+    values = jnp.asarray(rng.standard_normal((b, t, h, w, cv)), jnp.float32)
+    # slots 0..1 invalid (fresh ring), 2..3 valid
+    valid = jnp.asarray([[False, False, True, True]] * b)
+    qk = jnp.asarray(rng.standard_normal((b, h, w, ck)), jnp.float32)
+    qv = jnp.asarray(rng.standard_normal((b, h, w, cv)), jnp.float32)
+
+    def read(impl, keys, values, qk):
+        state = MemoryState(keys, values, valid)
+        return memory_read(state, qk, qv, impl=impl)
+
+    got = read("fused", keys, values, qk)
+    want = read("xla", keys, values, qk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(impl, keys, values, qk):
+        return jnp.sum(read(impl, keys, values, qk) ** 2)
+
+    g_fused = jax.grad(functools.partial(loss, "fused"),
+                       argnums=(0, 1, 2))(keys, values, qk)
+    g_xla = jax.grad(functools.partial(loss, "xla"),
+                     argnums=(0, 1, 2))(keys, values, qk)
+    for a, b_ in zip(g_fused, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
