@@ -4,3 +4,9 @@ from emip_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from emip_tpu.parallel.sharding import (
+    leaf_partition_spec,
+    state_shardings,
+    shard_pytree,
+    sharded_state_and_batch,
+)
