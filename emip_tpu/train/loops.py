@@ -164,7 +164,8 @@ def train_short(cfg: Config, resume: bool = False,
     snapshot_config(cfg, cfg.save_path)
     scalars = ScalarLogger(cfg.save_path)
 
-    mesh = make_mesh()
+    par = cfg.parallel
+    mesh = make_mesh(model_parallel=par.model_parallel)
     model, tx, state = build_short_state(cfg)
     train_step = make_short_train_step(model, tx)
     eval_step = make_short_eval_step(model)
@@ -179,6 +180,23 @@ def train_short(cfg: Config, resume: bool = False,
             log.info("resumed from epoch %d", step)
         except FileNotFoundError:
             log.info("no checkpoint to resume; starting fresh")
+
+    if par.model_parallel > 1 or par.fsdp:
+        # tensor-parallel / FSDP weight + optimizer sharding; the jitted
+        # step is unchanged (GSPMD inserts the collectives). Default is the
+        # reference's regime: replicated params, data-sharded batch.
+        from emip_tpu.parallel.sharding import shard_pytree, state_shardings
+
+        state = shard_pytree(
+            state,
+            state_shardings(
+                state, mesh, tp=par.model_parallel > 1, fsdp=par.fsdp
+            ),
+        )
+        log.info(
+            "TrainState sharded: mesh %s, tensor-parallel=%d, fsdp=%s",
+            dict(mesh.shape), par.model_parallel, par.fsdp,
+        )
 
     loader = PairTrainLoader(
         cfg.train_dataset.image_path,

@@ -46,6 +46,20 @@ class OptimConfig:
 
 
 @dataclasses.dataclass
+class ParallelConfig:
+    """Sharding regime for the short trainer (emip_tpu/parallel/sharding.py).
+
+    The reference only scales via DDP (param replication). Defaults match
+    that; ``model_parallel > 1`` turns on Megatron-style tensor-parallel
+    weight sharding over the mesh's 'model' axis, ``fsdp`` additionally
+    shards params + Adam moments along 'data' (ZeRO-3).
+    """
+
+    model_parallel: int = 1
+    fsdp: bool = False
+
+
+@dataclasses.dataclass
 class Config:
     train_dataset: DatasetConfig
     val_dataset: DatasetConfig
@@ -53,6 +67,7 @@ class Config:
     load: LoadConfig
     model: EMIPShortConfig
     optimizer: OptimConfig
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     lr_min: float = 1.0e-6
     epoch_max: int = 30
     epoch: int = 100
@@ -123,6 +138,11 @@ def load_config(path: str) -> Config:
             name=str(opt.get("name", "adamw")),
             lr=float(opt.get("lr", 1.0e-5)),
             weight_decay=float(opt.get("weight_decay", 1.0e-7)),
+        ),
+        parallel=ParallelConfig(
+            model_parallel=int((raw.get("parallel") or {}).get(
+                "model_parallel", 1)),
+            fsdp=bool((raw.get("parallel") or {}).get("fsdp", False)),
         ),
         lr_min=float(raw.get("lr_min", 1.0e-6)),
         epoch_max=int(raw.get("epoch_max", 30)),

@@ -19,6 +19,8 @@ def test_shipped_config_parses():
     assert cfg.clip == 0.5
     assert cfg.val_dataset_cad is not None  # block the reference forgot
     assert cfg.compute_dtype == "bfloat16"
+    assert cfg.parallel.model_parallel == 1  # DDP regime by default
+    assert cfg.parallel.fsdp is False
 
 
 def test_reference_style_config_parses(tmp_path):
@@ -90,6 +92,20 @@ epoch_save: 1
     assert cfg.load.long_path.endswith("Net_long_best.pth")
     assert cfg.seed == 123
     assert cfg.epoch == 100
+    # reference-style YAML has no parallel block -> DDP defaults
+    assert cfg.parallel.model_parallel == 1
+    assert cfg.parallel.fsdp is False
+
+
+def test_parallel_block_parses(tmp_path):
+    p = tmp_path / "tp.yaml"
+    p.write_text(
+        "model:\n  args:\n    inp_size: 64\n"
+        "parallel:\n  model_parallel: 4\n  fsdp: true\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.parallel.model_parallel == 4
+    assert cfg.parallel.fsdp is True
 
 
 def test_invalid_inp_size_rejected(tmp_path):
