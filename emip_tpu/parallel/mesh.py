@@ -47,8 +47,26 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays, batch-sharded along 'data'."""
+def shard_batch(batch, mesh: Mesh, sp: bool = False):
+    """Device-put a pytree of host arrays, batch-sharded along 'data'.
+
+    With ``sp`` (sequence parallelism) the spatial H dim additionally
+    shards along 'model' (emip_tpu/parallel/sharding.py).
+    """
+    if sp:
+        from emip_tpu.parallel.sharding import batch_partition_spec
+
+        model_size = mesh.shape.get("model", 1)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(
+                    mesh,
+                    batch_partition_spec(x, model_size=model_size, sp=True),
+                ),
+            ),
+            batch,
+        )
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch

@@ -39,6 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "leaf_partition_spec",
+    "batch_partition_spec",
     "state_shardings",
     "shard_pytree",
     "sharded_state_and_batch",
@@ -104,6 +105,34 @@ def leaf_partition_spec(
     return P(*spec)
 
 
+def batch_partition_spec(leaf, *, model_size: int = 1, sp: bool = False) -> P:
+    """PartitionSpec for one batch leaf: 'data' on dim 0, plus — under
+    sequence parallelism — 'model' on the spatial H dim.
+
+    ``sp`` is the activation-sharding analogue of TP: NHWC batch tensors
+    shard their height over the 'model' axis, so the *activations* of the
+    convolutional/elementwise span are distributed and XLA's SPMD
+    partitioner inserts halo exchanges for convs and all-gathers where an
+    op genuinely needs the full extent (attention). The reference has no
+    counterpart (DDP replicates activations per GPU); this is the mesh
+    regime that cuts activation memory at large input sizes. As with every
+    GSPMD regime here, a spec only changes communication, never math
+    (tests/test_tensor_parallel.py::test_sequence_parallel_step).
+    """
+    shape = getattr(leaf, "shape", ())
+    if len(shape) == 0:
+        return P()
+    spec = ["data"] + [None] * (len(shape) - 1)
+    if (
+        sp
+        and model_size > 1
+        and len(shape) >= 3  # N H ... C — only shard a real spatial dim
+        and _dim_divisible(shape, 1, model_size)
+    ):
+        spec[1] = "model"
+    return P(*spec)
+
+
 def state_shardings(
     tree: Any,
     mesh: Mesh,
@@ -143,9 +172,11 @@ def sharded_state_and_batch(
     *,
     tp: bool = True,
     fsdp: bool = False,
+    sp: bool = False,
     min_size: int = 2**16,
 ):
-    """Shard a TrainState per the TP/FSDP rules and a batch along 'data'.
+    """Shard a TrainState per the TP/FSDP rules and a batch along 'data'
+    (plus the spatial dim along 'model' under ``sp``).
 
     The jitted train step needs no changes: computation follows data, and
     XLA's SPMD partitioner inserts the collectives implied by the input
@@ -155,8 +186,14 @@ def sharded_state_and_batch(
         state, mesh, tp=tp, fsdp=fsdp, min_size=min_size
     )
     sharded_state = shard_pytree(state, shardings)
-    batch_sh = NamedSharding(mesh, P("data"))
+    model_size = mesh.shape.get("model", 1)
     sharded_batch = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sh), batch
+        lambda x: jax.device_put(
+            x,
+            NamedSharding(
+                mesh, batch_partition_spec(x, model_size=model_size, sp=sp)
+            ),
+        ),
+        batch,
     )
     return sharded_state, sharded_batch

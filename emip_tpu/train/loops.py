@@ -194,8 +194,10 @@ def train_short(cfg: Config, resume: bool = False,
             ),
         )
         log.info(
-            "TrainState sharded: mesh %s, tensor-parallel=%d, fsdp=%s",
+            "TrainState sharded: mesh %s, tensor-parallel=%d, fsdp=%s, "
+            "sequence-parallel=%s",
             dict(mesh.shape), par.model_parallel, par.fsdp,
+            par.sequence_parallel,
         )
 
     loader = PairTrainLoader(
@@ -228,7 +230,9 @@ def train_short(cfg: Config, resume: bool = False,
                     break
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(
-                    state, shard_batch(batch, mesh), step_rng
+                    state,
+                    shard_batch(batch, mesh, sp=par.sequence_parallel),
+                    step_rng,
                 )
                 global_step += 1
                 epoch_steps += 1

@@ -52,11 +52,14 @@ class ParallelConfig:
     The reference only scales via DDP (param replication). Defaults match
     that; ``model_parallel > 1`` turns on Megatron-style tensor-parallel
     weight sharding over the mesh's 'model' axis, ``fsdp`` additionally
-    shards params + Adam moments along 'data' (ZeRO-3).
+    shards params + Adam moments along 'data' (ZeRO-3), and
+    ``sequence_parallel`` shards the batch's spatial H dim over 'model'
+    (activation sharding; requires ``model_parallel > 1``).
     """
 
     model_parallel: int = 1
     fsdp: bool = False
+    sequence_parallel: bool = False
 
 
 @dataclasses.dataclass
@@ -143,6 +146,8 @@ def load_config(path: str) -> Config:
             model_parallel=int((raw.get("parallel") or {}).get(
                 "model_parallel", 1)),
             fsdp=bool((raw.get("parallel") or {}).get("fsdp", False)),
+            sequence_parallel=bool((raw.get("parallel") or {}).get(
+                "sequence_parallel", False)),
         ),
         lr_min=float(raw.get("lr_min", 1.0e-6)),
         epoch_max=int(raw.get("epoch_max", 30)),

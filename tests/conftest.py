@@ -15,6 +15,13 @@ import os
 # never inherit the single-client TPU tunnel platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# Clear the axon plugin trigger for SUBPROCESSES: during a tunnel outage the
+# sitecustomize-time axon.register.register() call blocks every new python
+# process (even CPU-only ones) in a connect-retry loop; with the env var
+# empty, sitecustomize skips registration entirely and CPU jax works
+# (CLAUDE.md "Environment gotchas"). This process already survived its own
+# sitecustomize, but test_run_parity/test_multiprocess spawn children.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 # No persistent compilation cache under pytest: the cache exists to make
 # repeat TPU-tunnel benchmarking cheap; test-suite CPU compiles just bloat
 # it (observed 7GB+/4900 entries), and a cache *write* once segfaulted the

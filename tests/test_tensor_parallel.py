@@ -150,6 +150,33 @@ def test_fsdp_step_matches_single_device(setup):
     _assert_matches_single_device(new_state, metrics, ref_state, ref_metrics)
 
 
+def test_sequence_parallel_step_matches_single_device(setup):
+    """DP x SP: batch sharded on 'data' AND spatial H sharded on 'model'.
+
+    Activation sharding, not weight sharding: XLA inserts halo exchanges
+    for the convolutions and all-gathers where attention needs the full
+    extent, and the update must still be the single-device one.
+    """
+    from emip_tpu.parallel.sharding import batch_partition_spec
+
+    state, step, batch, rng, ref_state, ref_metrics = setup
+    mesh = _mesh(data=2, model=4)
+    sp_state, sp_batch = sharded_state_and_batch(
+        state, batch, mesh, tp=False, sp=True, min_size=MIN_SIZE
+    )
+    P = jax.sharding.PartitionSpec
+    # NB PartitionSpec('data','model') != P('data','model',None,None):
+    # trailing Nones are significant in equality; specs here are 4-D NHWC
+    assert batch_partition_spec(
+        batch["image1"], model_size=4, sp=True
+    ) == P("data", "model", None, None)
+    for leaf in jax.tree_util.tree_leaves(sp_batch):
+        assert leaf.sharding.spec == P("data", "model", None, None)
+
+    new_state, metrics = step(sp_state, sp_batch, rng)
+    _assert_matches_single_device(new_state, metrics, ref_state, ref_metrics)
+
+
 def test_dp_tp_fsdp_combined(setup):
     """2-way data x 4-way model with FSDP on top: the full hybrid."""
     state, step, batch, rng, ref_state, ref_metrics = setup
