@@ -26,7 +26,7 @@ from emip_tpu.data.manifest import ClipItem, PairItem, scan_clips, scan_pairs
 from emip_tpu.ops.image import IMAGENET_MEAN, IMAGENET_STD
 
 __all__ = ["PairTrainLoader", "PairEvalLoader", "ClipLoader",
-           "load_pair_arrays"]
+           "load_pair_arrays", "shard_order", "default_shard"]
 
 _MEAN = np.asarray(IMAGENET_MEAN, np.float32)
 _STD = np.asarray(IMAGENET_STD, np.float32)
@@ -55,6 +55,36 @@ def _to_mask_array(img: Image.Image, size: int | None) -> np.ndarray:
     return (np.asarray(img, np.float32) / 255.0)[..., None]
 
 
+def shard_order(order: list, index: int, count: int) -> list:
+    """Per-process slice of an epoch order — DistributedSampler semantics.
+
+    The reference shards its datasets across DDP ranks with
+    ``torch.utils.data.DistributedSampler`` (dataset/dataset.py:138-141):
+    pad the (already shuffled) index list by wrapping to the front until it
+    divides ``count``, then give rank ``index`` the strided slice
+    ``padded[index::count]``. All ranks shuffle with the same seed, so the
+    shards are disjoint (up to the wrap padding) and cover every item.
+    """
+    assert 0 <= index < count, (index, count)
+    if not order:
+        return []
+    per = -(-len(order) // count)  # ceil
+    pad = per * count - len(order)
+    padded = list(order)
+    while pad > 0:  # wrap (possibly multiple times for tiny datasets)
+        padded += order[: pad]
+        pad = per * count - len(padded)
+    return padded[index::count]
+
+
+def default_shard() -> tuple[int, int] | None:
+    """(process_index, process_count) in a multi-process run, else None."""
+    import jax
+
+    n = jax.process_count()
+    return (jax.process_index(), n) if n > 1 else None
+
+
 def load_pair_arrays(item: PairItem, size: int):
     """Eval-path loading of one pair (no augmentation)."""
     img1 = _load_rgb(item.image1)
@@ -80,6 +110,7 @@ class PairTrainLoader:
         augment: bool = True,
         flip_augment: bool = False,
         drop_remainder: bool = True,
+        shard: tuple[int, int] | None = None,
     ):
         self.items = scan_pairs(images_root, gts_root, dataset_type)
         self.batch_size = batch_size
@@ -90,11 +121,18 @@ class PairTrainLoader:
         self.augment = augment
         self.flip_augment = flip_augment
         self.drop_remainder = drop_remainder
+        self.shard = shard  # (process_index, process_count) or None
         self.epoch = 0
 
+    def _epoch_items(self) -> int:
+        if self.shard is None:
+            return len(self.items)
+        return len(shard_order(list(range(len(self.items))), *self.shard))
+
     def __len__(self):
-        n = len(self.items) // self.batch_size
-        if not self.drop_remainder and len(self.items) % self.batch_size:
+        n_items = self._epoch_items()
+        n = n_items // self.batch_size
+        if not self.drop_remainder and n_items % self.batch_size:
             n += 1
         return n
 
@@ -121,6 +159,8 @@ class PairTrainLoader:
         order = list(range(len(self.items)))
         shuffle_rng = random.Random(f"{self.seed}:{self.epoch}")
         shuffle_rng.shuffle(order)
+        if self.shard is not None:
+            order = shard_order(order, *self.shard)
 
         batches = [
             order[i : i + self.batch_size]
@@ -257,7 +297,8 @@ class StaticImageLoader:
 
     def __init__(self, root: str, batch_size: int, size: int = 352,
                  seed: int = 123, num_workers: int = 8, prefetch: int = 4,
-                 augment: bool = True, drop_remainder: bool = True):
+                 augment: bool = True, drop_remainder: bool = True,
+                 shard: tuple[int, int] | None = None):
         import os
 
         img_dir = None
@@ -283,11 +324,15 @@ class StaticImageLoader:
         self.num_workers = num_workers
         self.augment = augment
         self.drop_remainder = drop_remainder
+        self.shard = shard
         self.epoch = 0
 
     def __len__(self):
-        n = len(self.items) // self.batch_size
-        if not self.drop_remainder and len(self.items) % self.batch_size:
+        n_items = len(self.items)
+        if self.shard is not None:
+            n_items = len(shard_order(list(range(n_items)), *self.shard))
+        n = n_items // self.batch_size
+        if not self.drop_remainder and n_items % self.batch_size:
             n += 1
         return n
 
@@ -306,6 +351,8 @@ class StaticImageLoader:
         self.epoch += 1
         order = list(range(len(self.items)))
         random.Random(f"{self.seed}:{self.epoch}").shuffle(order)
+        if self.shard is not None:
+            order = shard_order(order, *self.shard)
         batches = [order[i : i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_remainder:
@@ -343,6 +390,7 @@ class ClipLoader:
         shuffle: bool = False,
         seed: int = 123,
         use_native: bool | None = None,
+        shard: tuple[int, int] | None = None,
     ):
         import os as _os
 
@@ -354,6 +402,7 @@ class ClipLoader:
         self.num_workers = num_workers
         self.shuffle = shuffle
         self.seed = seed
+        self.shard = shard
         self.epoch = 0
         if use_native is None:
             use_native = _os.environ.get("EMIP_NATIVE_LOADER") == "1"
@@ -364,6 +413,9 @@ class ClipLoader:
         self.use_native = bool(use_native)
 
     def __len__(self):
+        if self.shard is not None:
+            return len(shard_order(list(range(len(self.clips))),
+                                   *self.shard))
         return len(self.clips)
 
     def load_clip(self, clip: ClipItem):
@@ -398,5 +450,7 @@ class ClipLoader:
         order = list(range(len(self.clips)))
         if self.shuffle:
             random.Random(f"{self.seed}:{self.epoch}").shuffle(order)
+        if self.shard is not None:
+            order = shard_order(order, *self.shard)
         for i in order:
             yield self.load_clip(self.clips[i])

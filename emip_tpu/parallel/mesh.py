@@ -52,24 +52,33 @@ def shard_batch(batch, mesh: Mesh, sp: bool = False):
 
     With ``sp`` (sequence parallelism) the spatial H dim additionally
     shards along 'model' (emip_tpu/parallel/sharding.py).
+
+    Single-process: a plain ``device_put`` onto the batch sharding.
+    Multi-process (mesh spanning hosts): each process holds only its OWN
+    rows — the shard its data loader produced (``data.pipeline.shard_order``,
+    the DistributedSampler equivalent) — so the global array is assembled
+    with ``jax.make_array_from_process_local_data``; the global batch is
+    ``process_count`` times the local one.
     """
     if sp:
         from emip_tpu.parallel.sharding import batch_partition_spec
 
         model_size = mesh.shape.get("model", 1)
+        per_leaf = lambda x: NamedSharding(  # noqa: E731
+            mesh, batch_partition_spec(x, model_size=model_size, sp=True)
+        )
+    else:
+        sharding = batch_sharding(mesh)
+        per_leaf = lambda x: sharding  # noqa: E731
+    if jax.process_count() > 1:
         return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x,
-                NamedSharding(
-                    mesh,
-                    batch_partition_spec(x, model_size=model_size, sp=True),
-                ),
+            lambda x: jax.make_array_from_process_local_data(
+                per_leaf(x), np.asarray(x)
             ),
             batch,
         )
-    sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
+        lambda x: jax.device_put(x, per_leaf(x)), batch
     )
 
 

@@ -203,11 +203,14 @@ def train_long(cfg: Config, short_variables: dict | None = None,
     model, tx, state = build_long_state(cfg, short_variables)
     step_fn = make_long_train_step(model, tx)
 
+    from emip_tpu.data.pipeline import default_shard
+
     loader = ClipLoader(
         cfg.train_dataset.image_path, cfg.train_dataset.gt_path,
         size=cfg.train_dataset.inp_size,
         dataset_type=cfg.train_dataset.dataset_type,
         shuffle=True, seed=cfg.seed,
+        shard=default_shard(),  # per-process clips in multi-host runs
     )
     lr_fn = cosine_epoch_lr(cfg.optimizer.lr, cfg.lr_min, cfg.epoch_max)
     ckpt_dir = os.path.join(cfg.save_path, "ckpt_long")

@@ -200,6 +200,8 @@ def train_short(cfg: Config, resume: bool = False,
             par.sequence_parallel,
         )
 
+    from emip_tpu.data.pipeline import default_shard
+
     loader = PairTrainLoader(
         cfg.train_dataset.image_path,
         cfg.train_dataset.gt_path,
@@ -208,6 +210,10 @@ def train_short(cfg: Config, resume: bool = False,
         dataset_type=cfg.train_dataset.dataset_type,
         seed=cfg.seed,
         augment=True,
+        # multi-host: each process loads a disjoint manifest shard
+        # (DistributedSampler equivalent); shard_batch assembles the
+        # global batch across processes
+        shard=default_shard(),
     )
     lr_fn = cosine_epoch_lr(cfg.optimizer.lr, cfg.lr_min, cfg.epoch_max)
 

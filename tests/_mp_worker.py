@@ -44,7 +44,7 @@ def main():
 
     import jax.numpy as jnp
     from emip_tpu.models.emip_short import EMIPShort
-    from emip_tpu.parallel.mesh import batch_sharding, make_mesh
+    from emip_tpu.parallel.mesh import make_mesh
     from emip_tpu.train.short import make_short_train_step
     from emip_tpu.train.state import GMFLOW_FREEZE, TrainState, build_optimizer
     from tests.helpers import tiny_short_config
@@ -63,7 +63,8 @@ def main():
     step = make_short_train_step(model, tx, donate=False)
 
     # deterministic global batch; every process materializes the full batch
-    # and contributes its local rows (DistributedSampler equivalent)
+    # then keeps only its shard_order rows (DistributedSampler equivalent)
+    # and feeds them through the production shard_batch multi-host path
     rng = np.random.default_rng(7)
     n = 8
     batch_np = dict(
@@ -71,12 +72,13 @@ def main():
         image2=rng.standard_normal((n, 64, 64, 3)).astype(np.float32),
         gt=(rng.uniform(size=(n, 64, 64, 1)) > 0.5).astype(np.float32),
     )
-    sharding = batch_sharding(mesh)
-    rows = slice(pid * (n // nproc), (pid + 1) * (n // nproc))
-    batch = {
-        k: jax.make_array_from_process_local_data(sharding, v[rows])
-        for k, v in batch_np.items()
-    }
+    from emip_tpu.data.pipeline import default_shard, shard_order
+    from emip_tpu.parallel.mesh import shard_batch
+
+    assert default_shard() == (pid, nproc)
+    rows = shard_order(list(range(n)), pid, nproc)
+    with mesh:
+        batch = shard_batch({k: v[rows] for k, v in batch_np.items()}, mesh)
 
     # AOT-compile, then rendezvous at the coordination-service barrier
     # before executing: on a single-core box the two workers can finish

@@ -109,3 +109,53 @@ def test_pair_flow_loader(synth_root, tmp_path):
     with_flow = [r for r in recs if "flow" in r]
     assert len(with_flow) == 1
     assert with_flow[0]["flow"].shape == (96, 128, 2)
+
+
+def test_shard_order_distributed_sampler_semantics():
+    from emip_tpu.data.pipeline import shard_order
+
+    order = list(range(10))
+    shards = [shard_order(order, i, 3) for i in range(3)]
+    # every shard has ceil(10/3) = 4 items
+    assert all(len(s) == 4 for s in shards)
+    # union covers all items; only the wrap padding (12-10=2) repeats
+    flat = [i for s in shards for i in s]
+    assert sorted(set(flat)) == order
+    assert len(flat) == 12
+    # exact DistributedSampler layout: pad by wrapping, then stride
+    padded = order + order[:2]
+    for i in range(3):
+        assert shards[i] == padded[i::3]
+    # tiny dataset (wraps more than once) still pads correctly
+    tiny = [shard_order([0, 1], i, 5) for i in range(5)]
+    assert all(len(s) == 1 for s in tiny)
+    assert sorted(i for (i,) in tiny) == [0, 0, 0, 1, 1]
+    assert shard_order([], 0, 4) == []
+
+
+def test_train_loader_sharding(synth_root):
+    # two "processes" with the same seed partition each epoch: disjoint
+    # pairs, same global shuffle, len() reflects the shard
+    kw = dict(batch_size=2, size=32, num_workers=2, seed=7, augment=False)
+    full = PairTrainLoader(synth_root, synth_root, **kw)
+    s0 = PairTrainLoader(synth_root, synth_root, shard=(0, 2), **kw)
+    s1 = PairTrainLoader(synth_root, synth_root, shard=(1, 2), **kw)
+    assert len(full) == 4 and len(s0) == len(s1) == 2
+    b_full = list(full)
+    b0, b1 = list(s0), list(s1)
+    assert len(b0) == len(b1) == 2
+    # interleaving the two shards' items reproduces the global order
+    g = np.concatenate([b["image1"] for b in b_full])
+    a = np.concatenate([b["image1"] for b in b0])
+    b = np.concatenate([b["image1"] for b in b1])
+    np.testing.assert_array_equal(a, g[0::2])
+    np.testing.assert_array_equal(b, g[1::2])
+
+
+def test_clip_loader_sharding(synth_root):
+    s0 = ClipLoader(synth_root, synth_root, size=32, shard=(0, 2))
+    s1 = ClipLoader(synth_root, synth_root, size=32, shard=(1, 2))
+    assert len(s0) == len(s1) == 1
+    v0 = [c["video"] for c in s0]
+    v1 = [c["video"] for c in s1]
+    assert set(v0).isdisjoint(v1) and len(v0) == len(v1) == 1

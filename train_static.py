@@ -75,9 +75,12 @@ def main():
         return params, new_stats, opt_state, loss
 
     mesh = make_mesh()
+    from emip_tpu.data.pipeline import default_shard
+
     loader = StaticImageLoader(args.data_root,
                                batch_size=cfg.train_dataset.batch_size,
-                               size=size, seed=cfg.seed)
+                               size=size, seed=cfg.seed,
+                               shard=default_shard())
     lr_fn = cosine_epoch_lr(cfg.optimizer.lr, cfg.lr_min, cfg.epoch_max)
     rng = jax.random.PRNGKey(cfg.seed)
 
