@@ -38,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["softmax_expectation", "fused_flow_attention"]
 
+# v5e VMEM is 128MB; the default 16MB scoped limit rejects the 512^2
+# shapes (n=4096: an 8MB corr row-block double-buffered + in-kernel exp
+# scratch). Same raised limit as memory_attention.py.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -94,6 +99,7 @@ def _softmax_expectation_fwd_impl(corr, values):
         ],
         out_specs=pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(corr, values)
 
@@ -161,6 +167,7 @@ def _softmax_expectation_bwd(res, g):
             pl.BlockSpec((n, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(corr, values, g, out)
     return dcorr, dvalues.astype(values.dtype)
@@ -216,6 +223,7 @@ def _flow_attention_fwd_impl(q, k, v):
         ],
         out_specs=pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(q, k, v)
 
@@ -304,6 +312,7 @@ def _flow_attention_bwd(res, g):
             pl.BlockSpec((1, l, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(q, k, v, g, out)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)

@@ -54,7 +54,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    scores = scores + bias_ref[0][None, :]
+    # bias block is [1, 1, N]; [1, N] broadcasts over the row tile.
+    scores = scores + bias_ref[0]
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     s = jnp.sum(p, axis=-1, keepdims=True)
@@ -80,6 +81,11 @@ def _fwd_impl(q, k, v, bias):
     d = v.shape[-1]
     tile = _row_tile(m, n, 24 * 1024 * 1024)
     kernel = functools.partial(_fwd_kernel, scale=1.0 / (c**0.5))
+    # Mosaic requires the last two block dims to be (8,128)-divisible or
+    # equal to the array dims; a [B, N] bias with block (1, n) violates
+    # that for B > 1 (sublane dim 1 != B).  Carry it as [B, 1, N] with a
+    # (1, 1, n) block: sublane 1 == array dim 1, lane n == array dim n.
+    bias3 = bias.reshape(b, 1, n)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, m, d), jnp.float32),
@@ -91,14 +97,14 @@ def _fwd_impl(q, k, v, bias):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(q, k, v, bias)
+    )(q, k, v, bias3)
 
 
 def _fwd(q, k, v, bias):
@@ -116,7 +122,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, out_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    scores = scores + bias_ref[0][None, :]
+    scores = scores + bias_ref[0]      # [1, N] broadcasts over rows
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # [TILE_M, N]
@@ -158,6 +164,7 @@ def _bwd(res, g):
     # backward holds ~3 [tile, N] fp32 tensors in VMEM — budget each small
     tile = _row_tile(m, n, 8 * 1024 * 1024)
     kernel = functools.partial(_bwd_kernel, scale=1.0 / (c**0.5))
+    bias3 = bias.reshape(b, 1, n)      # see _fwd_impl: (1, n) block illegal for B>1
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=(
@@ -173,7 +180,7 @@ def _bwd(res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -190,7 +197,7 @@ def _bwd(res, g):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(q, k, v, bias, g, out)
+    )(q, k, v, bias3, g, out)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), jnp.zeros_like(bias)
 
 

@@ -78,7 +78,13 @@ def _bwd_kernel(x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
                 bp_ref, gout_ref,
                 gx_ref, gkv_in_ref, gwq_ref, gbq_ref, gwkv_ref, gbkv_ref,
                 gwp_ref, gbp_ref, *, heads):
-    first = pl.program_id(0) == 0
+    # Grid is (B, N // tile): j row-tiles the query tokens so the
+    # [tile, M] probability/score buffers stay within scoped VMEM at
+    # 512^2 stage-1 (N=16384 whole-image needed ~108MB). Weight grads
+    # accumulate across the whole sequential grid; gkv_in accumulates
+    # across the row tiles of each image.
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first_tile = pl.program_id(1) == 0
     x = x_ref[0].astype(jnp.float32)
     t = kv_ref[0].astype(jnp.float32)
     c = x.shape[-1]
@@ -153,10 +159,16 @@ def _bwd_kernel(x_ref, kv_ref, wq_ref, bq_ref, wkv_ref, bkv_ref, wp_ref,
         gq, wq, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(gx_ref.dtype)
-    gkv_in_ref[0] = jax.lax.dot_general(
+    gkv_in_c = jax.lax.dot_general(
         gkv, wkv, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(gkv_in_ref.dtype)
+
+    @pl.when(first_tile)
+    def _():
+        gkv_in_ref[0] = jnp.zeros_like(gkv_in_ref[0])
+
+    gkv_in_ref[0] += gkv_in_c
 
     @pl.when(first)
     def _():
@@ -200,16 +212,49 @@ def _forward_pallas(x, kv_in, wq, bq, wkv, bkv, wp, bp, heads):
     )(x, kv_in, wq, bq, wkv, bkv, wp, bp)
 
 
+# ~4 [tile, M] + ~4 [tile, C] fp32 buffers per backward grid step. 70MB
+# keeps every 352^2 shape whole-image (the perf-verified train path;
+# stage-1 estimates 68MB and compiles at ~87MB scoped) while 512^2
+# stage-1 (estimate 84MB, actual ~108MB — rejected by the 100MB limit)
+# row-tiles to 8192. Tests shrink this to force the multi-tile
+# accumulation path on tiny shapes.
+_BWD_BUDGET_BYTES = 70 * 1024 * 1024
+
+
+def _bwd_row_tile(n: int, m: int, c: int) -> int:
+    """Largest 8-multiple divisor of n whose backward working set fits."""
+    budget = _BWD_BUDGET_BYTES
+    if 4 * n * (4 * m + 4 * c) <= budget:
+        return n
+    for tile in (8192, 4096, 3872, 2048, 1936, 1024, 968, 512, 484, 256,
+                 176, 128, 88, 64, 32, 16, 8):
+        if n % tile == 0 and 4 * tile * (4 * m + 4 * c) <= budget:
+            return tile
+    return n
+
+
 def _backward_pallas(res, gout):
     x, kv_in, wq, bq, wkv, bkv, wp, bp, heads = res
     b, n, c = x.shape
-    xs, ks, wcc, wc2, vc, v2 = _specs(x, kv_in)
+    m = kv_in.shape[1]
+    tile = _bwd_row_tile(n, m, c)
     f32 = jnp.float32
+    xt = pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                      memory_space=pltpu.VMEM)
+    ks = pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    k2 = pl.BlockSpec((1, m, c), lambda i, j: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    wcc = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    wc2 = pl.BlockSpec((c, 2 * c), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM)
+    vc = pl.BlockSpec((c,), lambda i, j: (0,), memory_space=pltpu.VMEM)
+    v2 = pl.BlockSpec((2 * c,), lambda i, j: (0,), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, heads=heads),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(kv_in.shape, kv_in.dtype),
+            jax.ShapeDtypeStruct(kv_in.shape, f32),  # accumulated over tiles
             jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((c,), f32),
             jax.ShapeDtypeStruct((c, 2 * c), f32),
@@ -217,13 +262,13 @@ def _backward_pallas(res, gout):
             jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((c,), f32),
         ),
-        grid=(b,),
-        in_specs=[xs, ks, wcc, vc, wc2, v2, wcc, vc, xs],
-        out_specs=(xs, ks, wcc, vc, wc2, v2, wcc, vc),
+        grid=(b, n // tile),
+        in_specs=[xt, ks, wcc, vc, wc2, v2, wcc, vc, xt],
+        out_specs=(xt, k2, wcc, vc, wc2, v2, wcc, vc),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=jax.default_backend() != "tpu",
     )(x, kv_in, wq, bq, wkv, bkv, wp, bp, gout)
-    gx, gkv_in = outs[0], outs[1]
+    gx, gkv_in = outs[0], outs[1].astype(kv_in.dtype)
     grads = [g.astype(r.dtype) for g, r in zip(outs[2:], res[2:8])]
     return (gx, gkv_in, *grads)
 

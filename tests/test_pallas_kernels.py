@@ -253,6 +253,38 @@ def test_fused_sr_attention_matches_xla_path(sr_ratio, heads):
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_fused_sr_attention_row_tiled_backward(monkeypatch):
+    """Multi-tile backward (grid over query rows) == whole-image grads.
+
+    Production tiles only at 512^2 stage-1 (N=16384, ~108MB whole-image
+    scoped VMEM); shrink the budget so tiny test shapes tile too and the
+    cross-tile gkv_in/weight-grad accumulation path is exercised on CPU.
+    """
+    from emip_tpu.models.pvt_v2 import SRAttention
+    from emip_tpu.ops.pallas import sr_attention as sr_mod
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    plain = SRAttention(dim=32, num_heads=2, sr_ratio=2, use_fused="never")
+    fused = SRAttention(dim=32, num_heads=2, sr_ratio=2, use_fused="always")
+    v = plain.init(jax.random.PRNGKey(0), x)
+
+    # n=64, m=16, c=32: whole-image set = 4*64*(64+128) = 49KB; a 25KB
+    # budget forces tile=32 (2 row tiles per image)
+    monkeypatch.setattr(sr_mod, "_BWD_BUDGET_BYTES", 25_000)
+    assert sr_mod._bwd_row_tile(64, 16, 32) == 32
+
+    def loss(model, v, x):
+        return jnp.sum(model.apply(v, x) ** 2)
+
+    gp = jax.grad(lambda v, x: loss(plain, v, x), argnums=(0, 1))(v, x)
+    gf = jax.grad(lambda v, x: loss(fused, v, x), argnums=(0, 1))(v, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_fused_sr_attention_in_pvt_scan():
     """Fused attention under the rematted per-stage scan == XLA path."""
     import dataclasses
