@@ -241,7 +241,11 @@ def bench_train_long(extra, bs=4, n=6):
           f"{bs / step_s:.1f} frames/s")
 
 
-def bench_stream512(extra, clips=4, n=10):
+def bench_stream512(extra, clip_counts=(4, 1), n=10):
+    """512^2 long-model streaming at 4 batched clips (the STABLE headline,
+    ``stream512_frames_per_s_4clip``) AND single-clip (regression guard —
+    the r2 "42 vs 46.7" confusion came from comparing the two definitions;
+    recording both every round makes that impossible to repeat)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -253,10 +257,10 @@ def bench_stream512(extra, clips=4, n=10):
     cfg = EMIPShortConfig(inp_size=size)
     model = EMIPLong(config=cfg, memory_size=5, dtype=jnp.bfloat16)
 
-    img = jnp.zeros((clips, size, size, 3), jnp.float32)
-    mem = model.init_memory(clips)
+    img = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), img, img, mem, False)
+        lambda: model.init(jax.random.PRNGKey(0), img, img,
+                           model.init_memory(1), False)
     )()
 
     @jax.jit
@@ -266,27 +270,33 @@ def bench_stream512(extra, clips=4, n=10):
         return cur + eps, new_mem, jnp.mean(mask)
 
     rng = np.random.default_rng(0)
-    f0 = jnp.asarray(rng.standard_normal((clips, size, size, 3)), jnp.float32)
-    f1 = jnp.asarray(rng.standard_normal((clips, size, size, 3)), jnp.float32)
+    for clips in clip_counts:
+        mem = model.init_memory(clips)
+        f0 = jnp.asarray(rng.standard_normal((clips, size, size, 3)),
+                         jnp.float32)
+        f1 = jnp.asarray(rng.standard_normal((clips, size, size, 3)),
+                         jnp.float32)
 
-    def run(k):
-        prev, cur, m = f0, f1, mem
-        s = None
-        for _ in range(k):
-            nxt, m, s = step(variables, prev, cur, m)
-            prev, cur = cur, nxt
-        return float(s)
+        def run(k):
+            prev, cur, m = f0, f1, mem
+            s = None
+            for _ in range(k):
+                nxt, m, s = step(variables, prev, cur, m)
+                prev, cur = cur, nxt
+            return float(s)
 
-    run(2)
-    t0 = time.perf_counter()
-    run(3)
-    t1 = time.perf_counter()
-    run(3 + n)
-    t2 = time.perf_counter()
-    step_s = ((t2 - t1) - (t1 - t0)) / n
-    extra["stream512_frames_per_s_4clip"] = round(clips / step_s, 2)
-    print(f"# 512^2 streaming, {clips} clips: {step_s * 1e3:.1f} ms/frame -> "
-          f"{clips / step_s:.2f} aggregate frames/s")
+        run(2)
+        t0 = time.perf_counter()
+        run(3)
+        t1 = time.perf_counter()
+        run(3 + n)
+        t2 = time.perf_counter()
+        step_s = ((t2 - t1) - (t1 - t0)) / n
+        key = ("stream512_frames_per_s_4clip" if clips == 4
+               else f"stream512_frames_per_s_{clips}clip")
+        extra[key] = round(clips / step_s, 2)
+        print(f"# 512^2 streaming, {clips} clip(s): {step_s * 1e3:.1f} "
+              f"ms/frame -> {clips / step_s:.2f} aggregate frames/s")
 
 
 def _device_watchdog(

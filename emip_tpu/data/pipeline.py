@@ -120,6 +120,13 @@ class PairTrainLoader:
         self.prefetch = prefetch
         self.augment = augment
         self.flip_augment = flip_augment
+        # sharded loaders must drop the remainder: with it kept, a final
+        # short batch could differ in row count across processes once a
+        # caller composes shard with truncation/padding, and
+        # make_array_from_process_local_data would then desync collectives
+        assert shard is None or drop_remainder, (
+            "shard requires drop_remainder=True (equal per-process batches)"
+        )
         self.drop_remainder = drop_remainder
         self.shard = shard  # (process_index, process_count) or None
         self.epoch = 0
@@ -323,6 +330,10 @@ class StaticImageLoader:
         self.seed = seed
         self.num_workers = num_workers
         self.augment = augment
+        # see PairTrainLoader: sharded batched loaders must drop remainders
+        assert shard is None or drop_remainder, (
+            "shard requires drop_remainder=True (equal per-process batches)"
+        )
         self.drop_remainder = drop_remainder
         self.shard = shard
         self.epoch = 0

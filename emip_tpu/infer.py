@@ -21,6 +21,7 @@ from PIL import Image
 
 from emip_tpu.data.pipeline import ClipLoader, PairEvalLoader
 from emip_tpu.ops.image import resize_bilinear_np
+from emip_tpu.parallel.mesh import fetch_global
 from emip_tpu.train.state import merge_params
 
 __all__ = ["predict_pairs", "predict_clips_long", "postprocess_to_png"]
@@ -71,7 +72,7 @@ def predict_pairs(
 
         mesh = make_mesh()
     if mesh is not None:
-        from emip_tpu.parallel.mesh import shard_batch
+        from emip_tpu.parallel.mesh import shard_batch  # noqa: F401
 
         ndata = mesh.shape["data"]
         batch_size = ((batch_size + ndata - 1) // ndata) * ndata
@@ -102,9 +103,13 @@ def predict_pairs(
                 img1 = np.concatenate([img1, img1[-1:].repeat(pad, 0)])
                 img2 = np.concatenate([img2, img2[-1:].repeat(pad, 0)])
             if mesh is not None:
-                img1, img2 = shard_batch((img1, img2), mesh)
+                # the loader is unsharded: every process feeds the full
+                # batch, so declare it replicated input (process_local
+                # would duplicate rows nproc times in multi-host runs)
+                img1, img2 = shard_batch((img1, img2), mesh,
+                                         process_local=False)
             masks, flows = forward(variables, img1, img2)
-            masks = np.asarray(masks, np.float32)[:n, ..., 0]
+            masks = fetch_global(masks).astype(np.float32)[:n, ..., 0]
             jobs = []
             for rec, logits in zip(chunk, masks):
                 out = os.path.join(
@@ -115,7 +120,7 @@ def predict_pairs(
                                 out)
                 )
             if return_flow:
-                flows = np.asarray(flows, np.float32)[:n]
+                flows = fetch_global(flows).astype(np.float32)[:n]
                 for rec, fl in zip(chunk, flows):
                     results.append((rec["video"], rec["frame_name"], fl))
             for j in jobs:

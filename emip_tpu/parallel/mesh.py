@@ -24,6 +24,8 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "fetch_global",
+    "is_primary",
     "init_distributed",
 ]
 
@@ -47,18 +49,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, sp: bool = False):
+def shard_batch(batch, mesh: Mesh, sp: bool = False,
+                process_local: bool = True):
     """Device-put a pytree of host arrays, batch-sharded along 'data'.
 
     With ``sp`` (sequence parallelism) the spatial H dim additionally
     shards along 'model' (emip_tpu/parallel/sharding.py).
 
     Single-process: a plain ``device_put`` onto the batch sharding.
-    Multi-process (mesh spanning hosts): each process holds only its OWN
-    rows — the shard its data loader produced (``data.pipeline.shard_order``,
-    the DistributedSampler equivalent) — so the global array is assembled
-    with ``jax.make_array_from_process_local_data``; the global batch is
-    ``process_count`` times the local one.
+    Multi-process (mesh spanning hosts), the meaning of the host rows is
+    declared by ``process_local``:
+
+    * ``process_local=True`` (train loaders): each process holds only its
+      OWN rows — the shard its data loader produced
+      (``data.pipeline.shard_order``, the DistributedSampler equivalent) —
+      so the global array is assembled with
+      ``jax.make_array_from_process_local_data``; the global batch is
+      ``process_count`` times the local one.
+    * ``process_local=False`` (eval/infer callers feeding the FULL batch
+      identically from every process): the global shape equals the local
+      one, and each process contributes its addressable slices from its
+      full copy via ``jax.make_array_from_callback``. Without this flag
+      such callers would get an nproc-times-duplicated global batch (and a
+      recompile at the wrong shape).
     """
     if sp:
         from emip_tpu.parallel.sharding import batch_partition_spec
@@ -71,15 +84,54 @@ def shard_batch(batch, mesh: Mesh, sp: bool = False):
         sharding = batch_sharding(mesh)
         per_leaf = lambda x: sharding  # noqa: E731
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(
-                per_leaf(x), np.asarray(x)
-            ),
-            batch,
-        )
+        if process_local:
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    per_leaf(x), np.asarray(x)
+                ),
+                batch,
+            )
+
+        def from_full_copy(x):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, per_leaf(x), lambda idx: x[idx]
+            )
+
+        return jax.tree_util.tree_map(from_full_copy, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, per_leaf(x)), batch
     )
+
+
+def fetch_global(x) -> np.ndarray:
+    """Full global value of a (possibly cross-process) jax.Array as numpy.
+
+    Single-process (or fully-addressable / fully-replicated) arrays are a
+    plain ``np.asarray``. A batch-sharded array in a multi-process run is
+    not fully addressable — ``np.asarray`` raises — so it is allgathered
+    across processes first. Eval/metric paths use this to read back logits
+    regardless of the run topology.
+    """
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True) \
+            or getattr(x, "is_fully_replicated", False):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
+def is_primary() -> bool:
+    """True on the process that should own host-side file writes.
+
+    Scalar logs and text logs are written by process 0 only (every process
+    computes identical metrics since eval inputs/outputs are replicated —
+    see ``shard_batch(process_local=False)``/``fetch_global``). Orbax
+    checkpoint saves are NOT guarded by this: ``CheckpointManager.save`` is
+    a collective in multi-process runs (orbax coordinates single-writer
+    semantics internally), so every process must call it.
+    """
+    return jax.process_index() == 0
 
 
 def _distributed_env(environ=None) -> bool:

@@ -100,10 +100,11 @@ def build_long_state(cfg: Config, short_variables: dict | None = None):
     return model, tx, state
 
 
-def make_long_train_step(model: EMIPLong, tx) -> Callable:
+def make_long_train_step(model: EMIPLong, tx, donate: bool = True) -> Callable:
     """Jitted per-frame step: (state, mem, img_prev, img_cur, gt) ->
     (state, mem, metrics). Optimizer steps every frame (reference
-    train_long.py:55-60)."""
+    train_long.py:55-60). ``donate=False`` for equivalence tests that
+    reuse the inputs."""
 
     def step(state: TrainState, mem, img_prev, img_cur, gt):
         def loss_fn(trainable):
@@ -131,7 +132,7 @@ def make_long_train_step(model: EMIPLong, tx) -> Callable:
         )
         return new_state, new_mem, dict(loss=loss)
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
 def validate_long(model, state, cfg: Config, max_items: int | None = None,
@@ -193,6 +194,36 @@ def validate_long(model, state, cfg: Config, max_items: int | None = None,
     )
 
 
+def _clip_groups(loader, group: int, max_videos: int | None,
+                 max_frames: int | None):
+    """Stacked clip groups [group, T_min, ...] for data-parallel steps.
+
+    Clips within a group are truncated to the group's shortest clip so the
+    frame loop runs in lockstep (static shapes for the jitted step). With
+    ``group == 1`` this is exactly the reference's clip-by-clip schedule.
+    A trailing partial group is dropped (equal-size batches on every
+    process — the loader's shards are equal length, so group counts match
+    across processes and the DP collectives stay in sync).
+    """
+    buf = []
+    for vi, clip in enumerate(loader):
+        if max_videos is not None and vi >= max_videos:
+            break
+        buf.append(clip)
+        if len(buf) == group:
+            t_min = min(len(c["frames"]) for c in buf)
+            if max_frames is not None:
+                t_min = min(t_min, max_frames)
+            yield (
+                np.stack([c["frames"][:t_min] for c in buf]),
+                np.stack([c["masks"][:t_min] for c in buf]),
+            )
+            buf = []
+    if buf:
+        log.info("train_long: dropping %d trailing clip(s) (< group of %d)",
+                 len(buf), group)
+
+
 def train_long(cfg: Config, short_variables: dict | None = None,
                max_videos_per_epoch: int | None = None,
                max_frames_per_video: int | None = None):
@@ -204,6 +235,17 @@ def train_long(cfg: Config, short_variables: dict | None = None,
     step_fn = make_long_train_step(model, tx)
 
     from emip_tpu.data.pipeline import default_shard
+    from emip_tpu.parallel.mesh import make_mesh, shard_batch
+
+    # Data-parallel over the full mesh: each data-axis slot streams one
+    # clip, gradients sync per frame-step via GSPMD's psum (the trainer
+    # was previously a plain single-device loop — with sharded loaders in
+    # a multi-host run, replicas would silently diverge with no grad sync).
+    mesh = make_mesh()
+    ndata = mesh.shape["data"]
+    nproc = jax.process_count()
+    assert ndata % nproc == 0, (ndata, nproc)
+    local_clips = ndata // nproc
 
     loader = ClipLoader(
         cfg.train_dataset.image_path, cfg.train_dataset.gt_path,
@@ -221,19 +263,17 @@ def train_long(cfg: Config, short_variables: dict | None = None,
     for epoch in range(1, cfg.epoch):
         state = state.set_learning_rate(lr_fn(epoch))
         t0 = time.perf_counter()
-        for vi, clip in enumerate(loader):
-            if max_videos_per_epoch is not None and vi >= max_videos_per_epoch:
-                break
-            frames, masks = clip["frames"], clip["masks"]
-            mem = model.init_memory(1)
-            t_max = len(frames)
-            if max_frames_per_video is not None:
-                t_max = min(t_max, max_frames_per_video)
-            for t in range(1, t_max):
-                state, mem, metrics = step_fn(
-                    state, mem,
-                    frames[t - 1 : t], frames[t : t + 1], masks[t : t + 1],
+        for frames, masks in _clip_groups(
+            loader, local_clips, max_videos_per_epoch, max_frames_per_video
+        ):
+            # frames [local_clips, T, H, W, 3]; memory ring sharded on the
+            # clip axis like the frame batch
+            mem = shard_batch(model.init_memory(local_clips), mesh)
+            for t in range(1, frames.shape[1]):
+                batch = shard_batch(
+                    (frames[:, t - 1], frames[:, t], masks[:, t]), mesh
                 )
+                state, mem, metrics = step_fn(state, mem, *batch)
                 global_step += 1
             scalars.scalar("loss/long", float(metrics["loss"]), global_step)
         scalars.scalar("time/epoch_s", time.perf_counter() - t0, epoch)

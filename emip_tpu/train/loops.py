@@ -20,7 +20,7 @@ from emip_tpu.data.pipeline import PairEvalLoader, PairTrainLoader
 from emip_tpu.metrics import MAE, Smeasure, WeightedFmeasure
 from emip_tpu.models.emip_short import EMIPShort
 from emip_tpu.ops.image import resize_bilinear_np
-from emip_tpu.parallel.mesh import make_mesh, shard_batch
+from emip_tpu.parallel.mesh import fetch_global, make_mesh, shard_batch
 from emip_tpu.train.short import make_short_eval_step, make_short_train_step
 from emip_tpu.train.state import (
     GMFLOW_FREEZE,
@@ -129,9 +129,12 @@ def validate_short(model, state, cfg: Config, max_items: int | None = None,
             img1 = np.concatenate([img1, img1[-1:].repeat(pad, 0)])
             img2 = np.concatenate([img2, img2[-1:].repeat(pad, 0)])
         if mesh is not None:
-            img1, img2 = shard_batch((img1, img2), mesh)
+            # every process iterates the FULL val split identically (the
+            # loader is unsharded), so the batch is declared replicated
+            # input, not per-process rows
+            img1, img2 = shard_batch((img1, img2), mesh, process_local=False)
         logits_dev = eval_step(state, img1, img2)
-        logits_all = np.asarray(logits_dev, np.float32)[:k]
+        logits_all = fetch_global(logits_dev).astype(np.float32)[:k]
         # one batched device program for the whole chunk's val loss
         # (was one un-jitted per-frame hybrid_e_loss call each — hundreds
         # of tiny device programs per validation pass)

@@ -17,6 +17,16 @@ from contextlib import contextmanager
 __all__ = ["setup_logging", "ScalarLogger"]
 
 
+def _process_index() -> int:
+    """jax.process_index(), or 0 before/without a jax backend."""
+    try:
+        import jax
+
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
 def setup_logging(save_path: str, filename: str = "train_log.log"):
     """Attach a file handler to the project logger.
 
@@ -27,6 +37,12 @@ def setup_logging(save_path: str, filename: str = "train_log.log"):
     os.makedirs(save_path, exist_ok=True)
     logger = logging.getLogger("emip_tpu")
     logger.setLevel(logging.INFO)
+    rank = _process_index()
+    if rank:
+        # one file per process: concurrent appends from several hosts to a
+        # shared-filesystem file interleave mid-line
+        base, ext = os.path.splitext(filename)
+        filename = f"{base}.rank{rank}{ext}"
     target = os.path.abspath(os.path.join(save_path, filename))
     already = any(
         isinstance(h, logging.FileHandler)
@@ -48,17 +64,27 @@ class ScalarLogger:
 
     def __init__(self, save_path: str):
         os.makedirs(save_path, exist_ok=True)
-        self._jsonl = open(os.path.join(save_path, "scalars.jsonl"), "a")
+        # process 0 only: every process computes identical metrics (eval
+        # inputs are replicated), and concurrent writers on a shared
+        # filesystem would interleave the JSONL / double-count TB events
+        self._primary = _process_index() == 0
+        self._jsonl = (
+            open(os.path.join(save_path, "scalars.jsonl"), "a")
+            if self._primary else None
+        )
         self._tb = None
-        try:
-            from tensorboardX import SummaryWriter
+        if self._primary:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self._tb = SummaryWriter(os.path.join(save_path, "summary"))
-        except ImportError:
-            pass
+                self._tb = SummaryWriter(os.path.join(save_path, "summary"))
+            except ImportError:
+                pass
         self._timers: dict[str, float] = {}
 
     def scalar(self, tag: str, value, step: int):
+        if not self._primary:
+            return
         value = float(value)
         self._jsonl.write(
             json.dumps(dict(tag=tag, value=value, step=int(step),
@@ -92,6 +118,7 @@ class ScalarLogger:
             jax.profiler.stop_trace()
 
     def close(self):
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()

@@ -229,7 +229,15 @@ def main():
                     default="both")
     ap.add_argument("--merge", nargs=2, metavar="JSON",
                     help="combine a --side torch and a --side jax output")
+    ap.add_argument(
+        "--depths", default=",".join(map(str, DEPTHS)),
+        help="PVT stage depths, e.g. '3,6,40,3' for the flagship b5 "
+             "(default: the reduced oracle depths)",
+    )
     args = ap.parse_args()
+    global DEPTHS
+    DEPTHS = tuple(int(d) for d in args.depths.split(","))
+    assert len(DEPTHS) == 4, DEPTHS
 
     import numpy as np
 
