@@ -57,7 +57,11 @@ def _flops(jitted, *args) -> float | None:
         return None
 
 
-def bench_inference(extra, batch_sizes=(8, 16), n_short=5, n_long=25):
+def bench_inference(extra, batch_sizes=(8, 16, 24), n_short=5, n_long=25):
+    """Batch sweep 8/16/24: measured r4, throughput saturates at bs=24
+    (289.3 f/s, MFU 16.4%) and bs=32 is flat (288.5, 16.4%) — the binding
+    constraint is per-token model efficiency (PVT fwd ~51% of the step),
+    not batch amortization, so 32 isn't worth the extra bench time."""
     import jax
     import jax.numpy as jnp
     import numpy as np

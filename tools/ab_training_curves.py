@@ -171,7 +171,7 @@ def run_torch(model, batches, steps):
     return hist
 
 
-def run_jax(sd, batches, steps):
+def run_jax(sd, batches, steps, fused_attn="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -186,7 +186,12 @@ def run_jax(sd, batches, steps):
         build_optimizer,
     )
 
-    pvt_cfg = PVTv2Config(depths=DEPTHS, remat=False, drop_path_rate=0.0)
+    # fused_attn="never" for full-depth f32 runs: the fused SR-attention
+    # BACKWARD at stage 1 (T=7744) needs ~20MB VMEM in f32 (fits in the
+    # production bf16 path) — the XLA path is numerically equivalent and
+    # the kernels' gradients are covered by tests/test_grad_parity.py.
+    pvt_cfg = PVTv2Config(depths=DEPTHS, remat=False, drop_path_rate=0.0,
+                          fused_attn=fused_attn)
     register_backbone(
         "pvt_v2_b5_reduced_ab",
         lambda dtype: PVTv2(config=pvt_cfg, dtype=dtype),
@@ -219,6 +224,7 @@ def run_jax(sd, batches, steps):
 
 
 def main():
+    global DEPTHS
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--bs", type=int, default=2)
@@ -229,13 +235,14 @@ def main():
                     default="both")
     ap.add_argument("--merge", nargs=2, metavar="JSON",
                     help="combine a --side torch and a --side jax output")
+    ap.add_argument("--fused-attn", default="auto",
+                    choices=["auto", "always", "never"])
     ap.add_argument(
         "--depths", default=",".join(map(str, DEPTHS)),
         help="PVT stage depths, e.g. '3,6,40,3' for the flagship b5 "
              "(default: the reduced oracle depths)",
     )
     args = ap.parse_args()
-    global DEPTHS
     DEPTHS = tuple(int(d) for d in args.depths.split(","))
     assert len(DEPTHS) == 4, DEPTHS
 
@@ -266,7 +273,8 @@ def main():
         if args.side in ("both", "torch"):
             result["torch"] = run_torch(oracle, batches, args.steps)
         if args.side in ("both", "jax"):
-            result["jax"] = run_jax(sd, batches, args.steps)
+            result["jax"] = run_jax(sd, batches, args.steps,
+                                    fused_attn=args.fused_attn)
 
     with open(args.out + ".json", "w") as f:
         json.dump(result, f)
