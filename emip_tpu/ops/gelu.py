@@ -18,9 +18,10 @@ max error 2.3e-4; the analytic derivative (what autodiff produces) has
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-__all__ = ["gelu_poly"]
+__all__ = ["gelu_poly", "gelu_poly_native"]
 
 _XMAX = 4.25
 _UMAX = _XMAX * _XMAX
@@ -50,21 +51,56 @@ def gelu_poly(x: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+# P'(t) of _COEFFS (k * c_k), for the custom-JVP backward: the analytic
+# derivative of the SAME degree-8 value polynomial, so the gradient is
+# exactly the gradient of the function the forward computes (and its
+# ~8.7e-3 deviation from the true gelu' is identical to what autodiff
+# through the Horner recurrence produces) — just evaluated as ONE Horner
+# pass instead of autodiff's recompute-plus-reverse chain (~2x the ops).
+_DCOEFFS = tuple(k * c for k, c in enumerate(_COEFFS) if k > 0)
+
+
+def _horner(coeffs, t, dt):
+    e = jnp.asarray(coeffs[-1], dt)
+    for c in coeffs[-2::-1]:
+        e = e * t + jnp.asarray(c, dt)
+    return e
+
+
+@jax.custom_jvp
 def gelu_poly_native(x: jnp.ndarray) -> jnp.ndarray:
     """gelu_poly evaluated in the INPUT dtype (no fp32 round-trip).
 
     In bf16 the Horner recurrence loses ~2 decimal digits: measured
-    |err| vs exact fp32 gelu is ~2.6e-2 absolute / ~8e-3 of a bf16 ulp-
-    scale — the same order as bf16 activation rounding itself. Trades
-    that noise for skipping two full-tensor fp32 conversions on the
-    hottest activation in the network.
+    |err| vs exact fp32 gelu is ~2.6e-2 absolute — the same order as bf16
+    activation rounding itself. Trades that noise for skipping two
+    full-tensor fp32 conversions on the hottest activation in the
+    network. The custom JVP evaluates the ANALYTIC polynomial derivative
+    (one degree-7 Horner) instead of letting autodiff recompute-and-
+    reverse the forward recurrence — same gradient values, fewer ops in
+    the PVT backward.
     """
     dt = x.dtype
     t = jnp.minimum(x * x, jnp.asarray(_UMAX, dt)) * jnp.asarray(
         2.0 / _UMAX, dt) - jnp.asarray(1.0, dt)
-    e = jnp.asarray(_COEFFS[-1], dt)
-    for c in _COEFFS[-2::-1]:
-        e = e * t + jnp.asarray(c, dt)
+    e = _horner(_COEFFS, t, dt)
     inner = jnp.asarray(0.5, dt) * (x + e)
     return jnp.where(jnp.abs(x) >= jnp.asarray(_XMAX, dt),
                      jnp.maximum(x, jnp.asarray(0, dt)), inner)
+
+
+@gelu_poly_native.defjvp
+def _gelu_poly_native_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    dt = x.dtype
+    y = gelu_poly_native(x)
+    t = jnp.minimum(x * x, jnp.asarray(_UMAX, dt)) * jnp.asarray(
+        2.0 / _UMAX, dt) - jnp.asarray(1.0, dt)
+    # gelu'(x) = 0.5*(1 + E'(x)),  E'(x) = P'(t) * 4x/UMAX
+    g = jnp.asarray(0.5, dt) * (
+        jnp.asarray(1.0, dt)
+        + _horner(_DCOEFFS, t, dt) * jnp.asarray(4.0 / _UMAX, dt) * x
+    )
+    g = jnp.where(jnp.abs(x) >= jnp.asarray(_XMAX, dt),
+                  (x > 0).astype(dt), g)
+    return y, g * dx

@@ -59,7 +59,14 @@ def main():
     variables = jax.jit(
         lambda: model.init(jax.random.PRNGKey(0), img, img, train=False)
     )()
-    tx = build_optimizer()
+    if os.environ.get("BENCH_TRAIN_OPT") == "sgd":
+        # diagnostic: bounds the AdamW-update + clip share of the step
+        import optax
+
+        print("# optimizer: plain SGD (diagnostic)")
+        tx = optax.sgd(1e-5)
+    else:
+        tx = build_optimizer()
     state = TrainState.create(variables, tx, GMFLOW_FREEZE)
     wtable = os.environ.get("BENCH_TRAIN_WARP_TABLE")  # e.g. "bfloat16"
     if wtable:
