@@ -29,7 +29,9 @@ def main():
     remat = os.environ.get("BENCH_TRAIN_REMAT", "1")  # "0" | "1" | a policy
     dwconv = os.environ.get("BENCH_TRAIN_DWCONV", "conv")  # "conv" | "shift"
     gelu = os.environ.get("BENCH_TRAIN_GELU", "exact")  # "exact" | "poly"
-    if remat != "1" or dwconv != "conv" or gelu != "exact":
+    dpr = os.environ.get("BENCH_TRAIN_DPR")  # e.g. "0" — bounds the
+    # per-block droppath rng/mask cost inside the stage scans
+    if remat != "1" or dwconv != "conv" or gelu != "exact" or dpr:
         import dataclasses
 
         from emip_tpu.models.backbones import register_backbone
@@ -48,6 +50,10 @@ def main():
         if gelu != "exact":
             cfg_alt = dataclasses.replace(cfg_alt, ffn_gelu=gelu)
             print(f"# gelu impl: {gelu}")
+        if dpr:
+            cfg_alt = dataclasses.replace(cfg_alt,
+                                          drop_path_rate=float(dpr))
+            print(f"# drop_path_rate: {dpr}")
         register_backbone(
             "pvt_v2_b5_alt",
             lambda dtype: PVTv2(config=cfg_alt, dtype=dtype),

@@ -33,6 +33,9 @@ def timed(fn, args, n=6):
 
 
 def bench(label, cfg, x, img):
+    only = os.environ.get("PROFILE_ONLY")  # comma-list of label substrings
+    if only and not any(s.strip() in label for s in only.split(",")):
+        return None
     model = pvt.PVTv2(config=cfg, dtype=jnp.bfloat16)
     v = jax.jit(lambda: model.init(jax.random.PRNGKey(0), img))()
 
@@ -109,23 +112,28 @@ def main():
         finally:
             pvt.MixFFN.__call__ = orig_mixffn
 
-    # LayerNorm cost: swap EVERY flax LN (block norms + patch-embed norms +
-    # sr norms) for scale+bias only — no mean/var stats, same param tree.
-    # Patching flax's class (not PVTBlock.__call__) keeps the scan/remat
-    # wrappers untouched, so this runs under the production remat config.
-    orig_ln = nn.LayerNorm.__call__
+    # LayerNorm cost: stub EVERY flax LN's mean/var reductions (constant
+    # 0-mean / 1-var), keeping the affine + param tree + scan/remat
+    # wrappers intact. Patching flax's module-level _compute_stats (not
+    # LayerNorm.__call__) matters: post-hoc method assignment bypasses
+    # flax's metaclass method wrapping, so self.param would fail.
+    from flax.linen import normalization as fln
 
-    def ln_affine_only(self, y, *a, **k):
-        dt = self.dtype or y.dtype
-        scale = self.param("scale", nn.initializers.ones, (y.shape[-1],))
-        bias = self.param("bias", nn.initializers.zeros, (y.shape[-1],))
-        return y.astype(dt) * scale.astype(dt) + bias.astype(dt)
+    orig_stats = fln._compute_stats
 
-    nn.LayerNorm.__call__ = nn.compact(ln_affine_only)
+    def stats_stub(x, axes, dtype, *a, **k):
+        if isinstance(axes, int):
+            axes = (axes,)
+        red = tuple(d for i, d in enumerate(x.shape)
+                    if i not in {ax % x.ndim for ax in axes})
+        dt = jnp.promote_types(jnp.float32, x.dtype)
+        return jnp.zeros(red, dt), jnp.ones(red, dt)
+
+    fln._compute_stats = stats_stub
     try:
         bench("b5 grad (LN stats stubbed)", cfg, x, img)
     finally:
-        nn.LayerNorm.__call__ = orig_ln
+        fln._compute_stats = orig_stats
 
 
 if __name__ == "__main__":
