@@ -151,11 +151,24 @@ class EMIPShort(nn.Module):
         Per-frame encoder calls are kept deliberately: concatenating both
         frames into one doubled batch was measured ~25% SLOWER end-to-end
         on v5e (XLA schedules the two independent encoder calls better
-        than one double-batch call at these shapes).
+        than one double-batch call at these shapes). That r1 measurement
+        doubled EVERY encoder at inference; EMIP_PVT_DOUBLE_BATCH=1 gates
+        a narrower variant (backbone only, flow path per-frame) for
+        training A/Bs where per-op overhead in the 40-block stage-3 scan
+        backward may dominate.
         """
         self._init_dead_modules()
-        fea_1 = self.seg_features(image1, train)
-        fea_2 = self.seg_features(image2, train)
+        from emip_tpu.utils.knobs import resolve
+
+        if resolve("pvt_double_batch", 0, "EMIP_PVT_DOUBLE_BATCH"):
+            n = image1.shape[0]
+            stages = self.seg_features(
+                jnp.concatenate([image1, image2], axis=0), train)
+            fea_1 = tuple(s[:n] for s in stages)
+            fea_2 = tuple(s[n:] for s in stages)
+        else:
+            fea_1 = self.seg_features(image1, train)
+            fea_2 = self.seg_features(image2, train)
         fea_1_gm = self.flow_features(image1)[0]
         fea_2_gm = self.flow_features(image2)[0]
 

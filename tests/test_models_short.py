@@ -112,3 +112,21 @@ def test_pixel_shuffle_down_up_shapes():
     up = PixelShuffleUpsample(16)
     v = up.init(jax.random.PRNGKey(0), x)
     assert up.apply(v, x).shape == (1, 16, 16, 8)
+
+def test_double_batch_backbone_knob_equivalence(tiny_model_and_params,
+                                                monkeypatch):
+    """EMIP_PVT_DOUBLE_BATCH=1 (one doubled-batch backbone call) must be
+    numerically identical to the default per-frame calls: PVT normalizes
+    per-sample (LayerNorm), so batch composition cannot change the math."""
+    model, variables = tiny_model_and_params
+    img1 = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 64, 64, 3)), jnp.float32)
+    img2 = img1 + 0.05
+
+    base = model.apply(variables, img1, img2, train=False)
+    monkeypatch.setenv("EMIP_PVT_DOUBLE_BATCH", "1")
+    doubled = model.apply(variables, img1, img2, train=False)
+    for a, b in zip(jax.tree.flatten((base,))[0],
+                    jax.tree.flatten((doubled,))[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
