@@ -334,7 +334,9 @@ def _device_watchdog(
 def main():
     _device_watchdog()
     extra = {}
-    fps, bs = bench_inference(extra)
+    bs_list = tuple(int(b) for b in os.environ.get(
+        "BENCH_INFER_BS", "8,16,24").split(","))
+    fps, bs = bench_inference(extra, batch_sizes=bs_list)
 
     for name, fn in (
         ("train_short", bench_train_short),

@@ -155,7 +155,9 @@ class EMIPShort(nn.Module):
         doubled EVERY encoder at inference; EMIP_PVT_DOUBLE_BATCH=1 gates
         a narrower variant (backbone only, flow path per-frame) for
         training A/Bs where per-op overhead in the 40-block stage-3 scan
-        backward may dominate.
+        backward may dominate. Like every knob here it is resolved at
+        TRACE time: set it before the first compile of the step —
+        toggling it mid-process under a cached jit has no effect.
         """
         self._init_dead_modules()
         from emip_tpu.utils.knobs import resolve

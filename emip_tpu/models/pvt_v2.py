@@ -177,7 +177,10 @@ class SRAttention(nn.Module):
                  or (self.use_fused == "auto"
                      and _jax.default_backend() == "tpu"))
         )
-        fuse = resolve("sr_attention_fused", fuse)
+        # int-typed so the env override parses "0"/"1" correctly
+        # (bool("0") is True — resolve casts the raw string to type(value))
+        fuse = bool(resolve("sr_attention_fused", int(fuse),
+                            env="EMIP_SR_ATTN_FUSED"))
         if fuse:
             return self._fused(x, deterministic)
 

@@ -171,7 +171,7 @@ def run_torch(model, batches, steps):
     return hist
 
 
-def run_jax(sd, batches, steps, fused_attn="auto"):
+def run_jax(sd, batches, steps, fused_attn="auto", dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -197,8 +197,13 @@ def run_jax(sd, batches, steps, fused_attn="auto"):
         lambda dtype: PVTv2(config=pvt_cfg, dtype=dtype),
         pvt_cfg.embed_dims,
     )
+    # dtype="bfloat16" + fused_attn="always" is the PRODUCTION path
+    # (bf16 compute, fused SR-attention kernel with its fp32-accum
+    # backward) — the r4 full-depth A/B bypassed the kernel; this knob
+    # closes that gap (round-4 verdict Weak #5).
     model = EMIPShort(config=EMIPShortConfig(
-        backbone_name="pvt_v2_b5_reduced_ab", inp_size=SIZE))
+        backbone_name="pvt_v2_b5_reduced_ab", inp_size=SIZE),
+        dtype=getattr(jnp, dtype))
     variables = convert_emip_short_state(sd, depths=DEPTHS)
 
     tx = build_optimizer(learning_rate=LR, weight_decay=WD, clip_value=CLIP)
@@ -237,6 +242,9 @@ def main():
                     help="combine a --side torch and a --side jax output")
     ap.add_argument("--fused-attn", default="auto",
                     choices=["auto", "always", "never"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="jax-side compute dtype (bfloat16 = production)")
     ap.add_argument(
         "--depths", default=",".join(map(str, DEPTHS)),
         help="PVT stage depths, e.g. '3,6,40,3' for the flagship b5 "
@@ -274,7 +282,9 @@ def main():
             result["torch"] = run_torch(oracle, batches, args.steps)
         if args.side in ("both", "jax"):
             result["jax"] = run_jax(sd, batches, args.steps,
-                                    fused_attn=args.fused_attn)
+                                    fused_attn=args.fused_attn,
+                                    dtype=args.dtype)
+            result["jax_dtype"] = args.dtype
 
     with open(args.out + ".json", "w") as f:
         json.dump(result, f)

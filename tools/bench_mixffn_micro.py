@@ -109,8 +109,11 @@ def timed_grad(name, module, x, mm_flops_fwd, n=8):
     _, params = run(2 + n, params)
     t2 = time.perf_counter()
     ms = ((t2 - t1) - (t1 - t0)) / n * 1e3
-    # grad-call matmul FLOPs ~= 3x fwd (recompute under remat + dX + dW)
-    mfu = mm_flops_fwd * 3 / (ms * 1e-3) / (PEAK_TFLOPS * 1e12) * 100
+    # grad-call matmul FLOPs ~= 4x fwd for these remat-scanned variants:
+    # primal fwd + in-backward recompute (the save_attn_gelu policy trims
+    # a little of this, so 4x slightly overstates) + dX + dW. mm_peak has
+    # no remat and truly is 3x — so its MFU is comparable, not inflated.
+    mfu = mm_flops_fwd * 4 / (ms * 1e-3) / (PEAK_TFLOPS * 1e12) * 100
     print(f"{name:28s} {ms:8.2f} ms   mm-MFU ~{mfu:4.1f}%")
     return ms
 
@@ -179,7 +182,7 @@ def main():
                    ffn_fwd)
     if want("mm"):
         timed_grad("mm (ln+fc1+fc2)", scan_module(MMOnlyBlock), x, ffn_fwd)
-    if want("peak"):
+    if want("mm_peak"):  # "mm", "peak" and "mm_peak" all select this
         mm_peak()
 
 

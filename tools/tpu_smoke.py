@@ -194,6 +194,90 @@ def _cases(include_optin=False):
         )
 
 
+def _graph_cases():
+    """Whole-program lowering of the three production device programs.
+
+    Kernels passing in isolation does not prove the *graphs* lower: the
+    r3 regression was a kernel, the r4 regression was a harness — the
+    next one will be a whole-graph interaction (layout propagation,
+    fusion, VMEM scoping across kernel boundaries). Each case lowers +
+    compiles one end-to-end program at its production shape with fully
+    abstract params/optimizer state (jax.eval_shape — no weights are
+    built, no data moves, nothing executes; the compile cache makes
+    repeats free).
+
+    Yields (name, build) where build() returns a jax.stages.Lowered.
+    """
+    import jax.random as jr
+
+    from emip_tpu.models.emip_long import EMIPLong
+    from emip_tpu.models.emip_short import EMIPShort, EMIPShortConfig
+    from emip_tpu.train.long import make_long_train_step
+    from emip_tpu.train.short import make_short_train_step
+    from emip_tpu.train.state import (
+        GMFLOW_FREEZE,
+        SHORT_TERM_FREEZE,
+        TrainState,
+        build_optimizer,
+    )
+
+    key = jr.PRNGKey(0)
+
+    def short_train():
+        model = EMIPShort(config=EMIPShortConfig(), dtype=BF16)
+        img = sds((1, 352, 352, 3))
+        variables = jax.eval_shape(
+            lambda k, a, b: model.init(k, a, b, train=False), key, img, img)
+        tx = build_optimizer()
+        state = jax.eval_shape(
+            lambda v: TrainState.create(v, tx, GMFLOW_FREEZE), variables)
+        step = make_short_train_step(model, tx, donate=False)
+        bs = 8
+        batch = dict(image1=sds((bs, 352, 352, 3)),
+                     image2=sds((bs, 352, 352, 3)),
+                     gt=sds((bs, 352, 352, 1)))
+        return step.lower(state, batch, key)
+
+    def long_train():
+        model = EMIPLong(config=EMIPShortConfig(), memory_size=5,
+                         dtype=BF16)
+        img = sds((1, 352, 352, 3))
+        mem1 = jax.eval_shape(lambda: model.init_memory(1))
+        variables = jax.eval_shape(
+            lambda k, a, b, m: model.init(k, a, b, m, False),
+            key, img, img, mem1)
+        tx = build_optimizer()
+        state = jax.eval_shape(
+            lambda v: TrainState.create(v, tx, SHORT_TERM_FREEZE),
+            variables)
+        step = make_long_train_step(model, tx, donate=False)
+        bs = 4
+        mem = jax.eval_shape(lambda: model.init_memory(bs))
+        frame = sds((bs, 352, 352, 3))
+        return step.lower(state, mem, frame, frame, sds((bs, 352, 352, 1)))
+
+    def stream512():
+        model = EMIPLong(config=EMIPShortConfig(inp_size=512),
+                         memory_size=5, dtype=BF16)
+        clips = 4
+        img1 = sds((clips, 512, 512, 3))
+        mem = jax.eval_shape(lambda: model.init_memory(clips))
+        variables = jax.eval_shape(
+            lambda k, a, b, m: model.init(k, a, b, m, False),
+            key, img1, img1, mem)
+
+        def step(variables, prev, cur, mem):
+            mask, _, new_mem = model.apply(variables, prev, cur, mem,
+                                           False)
+            return mask, new_mem
+
+        return jax.jit(step).lower(variables, img1, img1, mem)
+
+    yield "graph:short_train_step[b5,352^2,bs=8]", short_train
+    yield "graph:long_train_step[b5,352^2,bs=4,mem=5]", long_train
+    yield "graph:stream512_step[b5,512^2,clips=4,mem=5]", stream512
+
+
 def _compile(fn, args, trace_only=False):
     lowered = jax.jit(fn).lower(*args)
     if not trace_only:
@@ -221,6 +305,8 @@ def main() -> int:
                          "debugging on CPU; does NOT check Mosaic lowering")
     ap.add_argument("--all", action="store_true",
                     help="also smoke default-OFF opt-in kernels")
+    ap.add_argument("--kernels-only", action="store_true",
+                    help="skip the whole-graph (train/stream step) cases")
     args = ap.parse_args()
 
     if jax.default_backend() != "tpu" and not args.trace_only:
@@ -257,6 +343,25 @@ def main() -> int:
             print(f"  FAIL {name:52s} {key.strip()[:300]}", flush=True)
             if len(failures) <= 3:
                 traceback.print_exc(limit=8)
+
+    if not args.kernels_only:
+        for name, build in _graph_cases():
+            if args.k and args.k not in name:
+                continue
+            n_run += 1
+            t0 = time.time()
+            try:
+                lowered = build()
+                status = f"lower ok {time.time() - t0:6.1f}s"
+                if not args.trace_only:
+                    t1 = time.time()
+                    lowered.compile()
+                    status += f"  compile ok {time.time() - t1:6.1f}s"
+                print(f"  PASS {name:52s} {status}", flush=True)
+            except Exception:  # noqa: BLE001 — report every failure
+                failures.append(name)
+                print(f"  FAIL {name}", flush=True)
+                traceback.print_exc(limit=12)
 
     print(f"\ntpu_smoke: {n_run - len(failures)}/{n_run} cases compiled")
     if failures:
