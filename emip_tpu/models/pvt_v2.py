@@ -312,6 +312,17 @@ class MixFFN(nn.Module):
     gelu_impl: str = "exact"  # "exact" (XLA erf) | "poly" (ops/gelu.py)
     dtype: Dtype = jnp.float32
 
+    def _bwd_fused_fits(self, b, h, w):
+        """VMEM gate for the bwd-fused kernel: one grid cell holds several
+        fp32 [H*W, hidden] temporaries, so cap the per-image tile size
+        (oversized shapes — e.g. b5 stage 1 at 512^2 — fall back to the
+        nn.Conv path with XLA's backward)."""
+        from emip_tpu.utils.knobs import resolve
+
+        max_elems = resolve("dwg_bwd_max_elems", 2_000_000,
+                            env="EMIP_DWG_BWD_MAX_ELEMS")
+        return h * w * self.hidden <= max_elems
+
     def _gelu(self, y):
         if self.gelu_impl == "poly":
             from emip_tpu.ops.gelu import gelu_poly
@@ -348,6 +359,19 @@ class MixFFN(nn.Module):
                 y.reshape(b, h * w, self.hidden),
                 wdw.reshape(3, 3, self.hidden).astype(self.dtype), bdw, h, w,
             ).reshape(b, h, w, self.hidden)
+        elif self.dwconv_impl == "bwd_fused" and self._bwd_fused_fits(b, h, w):
+            from emip_tpu.ops.pallas.mixffn import dwconv_gelu_bwd_fused
+
+            wdw, bdw = _DWConvParams(self.hidden, name="dwconv")()
+            y = dwconv_gelu_bwd_fused(
+                y.reshape(b, h * w, self.hidden),
+                wdw.reshape(3, 3, self.hidden).astype(self.dtype),
+                bdw, h, w, self.gelu_impl,
+            ).reshape(b, h, w, self.hidden)
+            # keep the save_attn_gelu remat contract: the gelu output is
+            # the saved tensor; the bwd kernel's residual (fc1_out) is
+            # recomputed by remat exactly as in the "conv" path
+            y = checkpoint_name(y, "ffn_gelu_out")
         elif self.dwconv_impl == "shift":
             # identical params to the nn.Conv path (kernel [3,3,1,hidden])
             wdw, bdw = _DWConvParams(self.hidden, name="dwconv")()
@@ -467,6 +491,8 @@ class PVTv2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from emip_tpu.utils.knobs import resolve
+
         cfg = self.config
         deterministic = not train
         # stochastic-depth schedule: linear ramp over all blocks
@@ -551,7 +577,8 @@ class PVTv2(nn.Module):
                 attn_drop=cfg.attn_drop_rate,
                 fused_ffn=cfg.fused_ffn,
                 fused_attn=cfg.fused_attn,
-                ffn_dwconv=cfg.ffn_dwconv,
+                ffn_dwconv=resolve("ffn_dwconv", cfg.ffn_dwconv,
+                                   env="EMIP_FFN_DWCONV"),
                 ffn_gelu=cfg.ffn_gelu,
                 dtype=self.dtype,
                 name=f"stage{i + 1}",

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gelu_poly", "gelu_poly_native"]
+__all__ = ["gelu_poly", "gelu_poly_native", "gelu_poly_grad"]
 
 _XMAX = 4.25
 _UMAX = _XMAX * _XMAX
@@ -87,6 +87,25 @@ def gelu_poly_native(x: jnp.ndarray) -> jnp.ndarray:
     inner = jnp.asarray(0.5, dt) * (x + e)
     return jnp.where(jnp.abs(x) >= jnp.asarray(_XMAX, dt),
                      jnp.maximum(x, jnp.asarray(0, dt)), inner)
+
+
+def gelu_poly_grad(x: jnp.ndarray) -> jnp.ndarray:
+    """Analytic derivative of the poly gelu, evaluated in x's dtype.
+
+    The same degree-7 Horner the custom JVP uses — exported so Pallas
+    backward kernels that recompute the pre-activation in VMEM (e.g.
+    :mod:`emip_tpu.ops.pallas.mixffn`) apply the gradient of the SAME
+    function the forward computed.
+    """
+    dt = x.dtype
+    t = jnp.minimum(x * x, jnp.asarray(_UMAX, dt)) * jnp.asarray(
+        2.0 / _UMAX, dt) - jnp.asarray(1.0, dt)
+    g = jnp.asarray(0.5, dt) * (
+        jnp.asarray(1.0, dt)
+        + _horner(_DCOEFFS, t, dt) * jnp.asarray(4.0 / _UMAX, dt) * x
+    )
+    return jnp.where(jnp.abs(x) >= jnp.asarray(_XMAX, dt),
+                     (x > 0).astype(dt), g)
 
 
 @gelu_poly_native.defjvp

@@ -16,6 +16,15 @@ Backward recomputes the conv pre-activation per cell and emits the input
 grad plus tap/bias grads accumulated across the grid. Exact-erf GELU via
 Abramowitz-Stegun (Mosaic has no erf lowering). On non-TPU backends both
 kernels run in interpreter mode (tests cover them on CPU).
+
+``dwconv_gelu_bwd_fused`` is the HYBRID form (round-5): forward stays in
+XLA (which fuses the fwd chain well — the all-Pallas fwd measured 170 vs
+230 f/s in r2), but the BACKWARD is the fused kernel above. Under the
+production remat policy XLA's backward for this segment runs ~10 HBM
+passes over the [HW, hidden] tensor per block (dwconv fwd recompute,
+gelu-bwd, dwconv dX, dwconv dW reads); the kernel does it in 3 (read u,
+read g, write gu) with the pre-activation recomputed in VMEM — measured
+as the 5.8 ms/call `ffn - mm` gap in tools/bench_mixffn_micro.py.
 """
 
 from __future__ import annotations
@@ -30,7 +39,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from emip_tpu.ops.pallas.window_attention import _gelu_exact, _gelu_grad
 
-__all__ = ["fused_dwconv_gelu"]
+__all__ = ["fused_dwconv_gelu", "dwconv_gelu_bwd_fused"]
+
+
+def _poly_gelu_grad(d):
+    from emip_tpu.ops.gelu import gelu_poly_grad
+
+    return gelu_poly_grad(d)
+
+
+# kernel-side gradient of each MixFFN gelu_impl, applied to the fp32
+# VMEM-recomputed pre-activation (fp32 recompute deliberately: r2 measured
+# bf16 flash-style recompute neutral in speed, worse in grad precision)
+_GELU_GRADS = {
+    "exact": _gelu_grad,
+    "poly": _poly_gelu_grad,
+    "poly_native": _poly_gelu_grad,
+}
 
 _VMEM_LIMIT = 100 * 1024 * 1024  # scoped-vmem cap; v5e physical VMEM is 128M
 
@@ -88,11 +113,12 @@ def _fwd_kernel(u_ref, wdw_ref, bdw_ref, out_ref, *, hw, w):
 
 
 def _bwd_kernel(u_ref, wdw_ref, bdw_ref, gout_ref,
-                gu_ref, gwdw_ref, gbdw_ref, *, hw, w):
+                gu_ref, gwdw_ref, gbdw_ref, *, hw, w,
+                gelu_grad=_gelu_grad):
     first = pl.program_id(0) == 0
     u = u_ref[0].astype(jnp.float32)
     d = _conv_flat(u_ref[0], wdw_ref, bdw_ref, hw, w)
-    gd = gout_ref[0].astype(jnp.float32) * _gelu_grad(d)
+    gd = gout_ref[0].astype(jnp.float32) * gelu_grad(d)
 
     gbdw_c = jnp.sum(gd, axis=0)
     gu = _conv_flat_T(gd, wdw_ref, hw, w)
@@ -149,12 +175,12 @@ def _forward_pallas(u, wdw, bdw, hw, w):
     )(u, wdw, bdw)
 
 
-def _backward_pallas(res, gout):
+def _backward_pallas(res, gout, gelu_grad=_gelu_grad):
     u, wdw, bdw, hw, w = res
     n, _, f = u.shape
     tok, wspec, vf = _specs(u, wdw)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, hw=hw, w=w),
+        functools.partial(_bwd_kernel, hw=hw, w=w, gelu_grad=gelu_grad),
         out_shape=(
             jax.ShapeDtypeStruct(u.shape, u.dtype),
             jax.ShapeDtypeStruct((3, 3, f), jnp.float32),
@@ -195,3 +221,65 @@ def fused_dwconv_gelu(
 ) -> jnp.ndarray:
     """gelu(dwconv3x3(u) + b) on flat tokens u: [N, H*W, F]; wdw [3,3,F]."""
     return _fused(u, wdw, bdw.astype(jnp.float32), h * w, w)
+
+
+def _xla_fwd(u, wdw, bdw, hw, w, gelu):
+    """XLA forward: grouped conv + bias + gelu, same math as the MixFFN
+    nn.Conv path (reference lib/pvt_v2.py:36-44 DWConv.forward)."""
+    n, _, f = u.shape
+    h = hw // w
+    x = u.reshape(n, h, w, f)
+    k = wdw.reshape(3, 3, 1, f).astype(u.dtype)
+    d = lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=f,
+    ) + bdw.astype(u.dtype)
+    if gelu == "poly":
+        from emip_tpu.ops.gelu import gelu_poly
+
+        y = gelu_poly(d)
+    elif gelu == "poly_native":
+        from emip_tpu.ops.gelu import gelu_poly_native
+
+        y = gelu_poly_native(d)
+    else:
+        import flax.linen as nn
+
+        y = nn.gelu(d, approximate=False)
+    return y.reshape(n, hw, f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _hybrid(u, wdw, bdw, hw, w, gelu):
+    return _xla_fwd(u, wdw, bdw, hw, w, gelu)
+
+
+def _hybrid_fwd(u, wdw, bdw, hw, w, gelu):
+    return _xla_fwd(u, wdw, bdw, hw, w, gelu), (u, wdw, bdw, hw, w)
+
+
+def _hybrid_bwd(hw, w, gelu, res, g):
+    return _backward_pallas(res, g, gelu_grad=_GELU_GRADS[gelu])
+
+
+_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def dwconv_gelu_bwd_fused(
+    u: jnp.ndarray,
+    wdw: jnp.ndarray,
+    bdw: jnp.ndarray,
+    h: int,
+    w: int,
+    gelu: str = "exact",
+) -> jnp.ndarray:
+    """gelu(dwconv3x3(u) + b): XLA forward, fused Pallas backward.
+
+    u flat tokens [N, H*W, F]; wdw [3,3,F]. The backward kernel recomputes
+    the conv pre-activation in VMEM and emits input/tap/bias grads in one
+    pass — replacing XLA's ~10 HBM round-trips for this segment's VJP
+    under remat. ``gelu`` selects the in-kernel gradient to match the
+    forward ("exact" | "poly" | "poly_native").
+    """
+    return _hybrid(u, wdw, bdw.astype(jnp.float32), h * w, w, gelu)

@@ -221,6 +221,87 @@ def test_fused_mixffn_in_pvt_block_scan():
                                    rtol=1e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("gelu_impl", ["exact", "poly_native"])
+def test_bwd_fused_mixffn_matches_conv_path(gelu_impl):
+    """dwconv_impl="bwd_fused" (XLA fwd + fused Pallas VJP) == "conv"."""
+    from emip_tpu.models.pvt_v2 import MixFFN
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 16)), jnp.float32)
+    plain = MixFFN(dim=16, hidden=32, dwconv_impl="conv",
+                   gelu_impl=gelu_impl)
+    hybrid = MixFFN(dim=16, hidden=32, dwconv_impl="bwd_fused",
+                    gelu_impl=gelu_impl)
+    v = plain.init(jax.random.PRNGKey(0), x)
+    v2 = hybrid.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    a = plain.apply(v, x)
+    b = hybrid.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(model, v, x):
+        return jnp.sum(model.apply(v, x) ** 2)
+
+    gp = jax.grad(lambda v, x: loss(plain, v, x), argnums=(0, 1))(v, x)
+    gf = jax.grad(lambda v, x: loss(hybrid, v, x), argnums=(0, 1))(v, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_bwd_fused_mixffn_size_gate_falls_back(monkeypatch):
+    """Oversized tiles fall back to the conv path (identical numerics)."""
+    from emip_tpu.models.pvt_v2 import MixFFN
+
+    monkeypatch.setenv("EMIP_DWG_BWD_MAX_ELEMS", "8")
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 8)), jnp.float32)
+    plain = MixFFN(dim=8, hidden=16, dwconv_impl="conv")
+    hybrid = MixFFN(dim=8, hidden=16, dwconv_impl="bwd_fused")
+    v = plain.init(jax.random.PRNGKey(0), x)
+    # gate forces the nn.Conv path -> bit-identical forward
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(v, x)), np.asarray(hybrid.apply(v, x)))
+
+
+def test_bwd_fused_mixffn_in_pvt_block_scan():
+    """bwd_fused under the rematted per-stage nn.scan (save_attn_gelu):
+    the saved ffn_gelu_out tensor is the hybrid op's output, and the remat
+    recompute feeds the Pallas VJP its fc1_out residual."""
+    import dataclasses
+
+    from emip_tpu.models.pvt_v2 import PVT_V2_VARIANTS, PVTv2
+
+    cfg = dataclasses.replace(
+        PVT_V2_VARIANTS["pvt_v2_b0"], depths=(1, 1, 1, 1))
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 3)), jnp.float32)
+    plain = PVTv2(config=dataclasses.replace(cfg, ffn_dwconv="conv"))
+    hybrid = PVTv2(config=dataclasses.replace(cfg, ffn_dwconv="bwd_fused"))
+    v = plain.init(jax.random.PRNGKey(0), x)
+
+    a = plain.apply(v, x)
+    b = hybrid.apply(v, x)
+    for ai, bi in zip(a, b):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   rtol=1e-4, atol=1e-4)
+
+    def loss(model, v):
+        outs = model.apply(v, x, train=False)
+        return sum(jnp.sum(o**2) for o in outs)
+
+    gp = jax.grad(lambda v: loss(plain, v))(v)
+    gf = jax.grad(lambda v: loss(hybrid, v))(v)
+    for ai, bi in zip(jax.tree_util.tree_leaves(gp),
+                      jax.tree_util.tree_leaves(gf)):
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   rtol=1e-3, atol=2e-3)
+
+
 @pytest.mark.parametrize("sr_ratio,heads", [(2, 2), (1, 4)])
 def test_fused_sr_attention_matches_xla_path(sr_ratio, heads):
     """SRAttention fused Pallas kernel == XLA path (fwd + grads)."""

@@ -47,10 +47,12 @@ _policy = jax.checkpoint_policies.save_only_these_names(
 class FFNOnlyBlock(nn.Module):
     """norm2 + MixFFN + residual — PVTBlock with the attention half cut."""
 
+    dwconv: str = "conv"
+
     @nn.compact
     def __call__(self, x, rate, deterministic: bool = True):
         n2 = nn.LayerNorm(**_LN, dtype=jnp.bfloat16, name="norm2")(x)
-        y = MixFFN(C, HID, use_fused="never", dwconv_impl="conv",
+        y = MixFFN(C, HID, use_fused="never", dwconv_impl=self.dwconv,
                    gelu_impl="poly_native", dtype=jnp.bfloat16,
                    name="mlp")(n2, deterministic)
         return x + y, ()
@@ -180,6 +182,9 @@ def main():
     if want("ffn"):
         timed_grad("ffn (ln+fc1+dw+gelu+fc2)", scan_module(FFNOnlyBlock), x,
                    ffn_fwd)
+    if want("bwdfused"):  # hybrid: XLA fwd, fused Pallas dwconv+gelu VJP
+        timed_grad("ffn bwd_fused",
+                   scan_module(FFNOnlyBlock, dwconv="bwd_fused"), x, ffn_fwd)
     if want("mm"):
         timed_grad("mm (ln+fc1+fc2)", scan_module(MMOnlyBlock), x, ffn_fwd)
     if want("mm_peak"):  # "mm", "peak" and "mm_peak" all select this

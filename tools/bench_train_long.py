@@ -66,11 +66,16 @@ def main():
         return time.perf_counter() - t0
 
     chain(1)  # compile
-    t1 = chain(2)
-    tn = chain(2 + 6)
-    t = (tn - t1) / 6
+    # median of 3 chain-pairs — a single pair has a heavy tunnel tail
+    # (observed 2.3/55.5/826.4 ms for this very program, round 5)
+    reps = []
+    for _ in range(3):
+        t1 = chain(2)
+        tn = chain(2 + 6)
+        reps.append((tn - t1) / 6)
+    t = sorted(reps)[1]
     print(f"long train step bs={BS}: {t*1e3:.1f} ms -> "
-          f"{BS/t:.1f} frames/s")
+          f"{BS/t:.1f} frames/s (reps {[round(r*1e3, 1) for r in reps]})")
 
 
 if __name__ == "__main__":

@@ -139,6 +139,22 @@ def _cases(include_optin=False):
                     (0, 1, 2, 4, 6),
                 )
 
+    # ---- MixFFN bwd_fused (XLA fwd + Pallas VJP): the grad path is the
+    # kernel, so compile fwd+grad at every 352^2 train stage the size
+    # gate admits (hw*hidden <= 2M; grads only exist in 352^2 training —
+    # the long trainer freezes the backbone, streaming runs no backward)
+    from emip_tpu.ops.pallas.mixffn import dwconv_gelu_bwd_fused
+
+    for (side_hw, f) in ((88, 256), (44, 512), (22, 1280), (11, 2048)):
+        yield (
+            f"dwconv_gelu_bwd_fused[B=8,{side_hw}^2,F={f}]",
+            lambda u, wdw, bdw, _s=side_hw: dwconv_gelu_bwd_fused(
+                u, wdw, bdw, _s, _s, "poly_native"),
+            (sds((8, side_hw * side_hw, f), BF16), sds((3, 3, f), BF16),
+             sds((f,))),
+            (0, 1, 2),
+        )
+
     # ---- MixFFN dwconv+gelu: opt-in only (default OFF — measured
     # slower end-to-end AND whole-image VMEM blocks exceed scoped VMEM
     # at production shapes; kept for CPU tests of the kernel math) -----
