@@ -19,12 +19,15 @@ kernels run in interpreter mode (tests cover them on CPU).
 
 ``dwconv_gelu_bwd_fused`` is the HYBRID form (round-5): forward stays in
 XLA (which fuses the fwd chain well — the all-Pallas fwd measured 170 vs
-230 f/s in r2), but the BACKWARD is the fused kernel above. Under the
-production remat policy XLA's backward for this segment runs ~10 HBM
-passes over the [HW, hidden] tensor per block (dwconv fwd recompute,
-gelu-bwd, dwconv dX, dwconv dW reads); the kernel does it in 3 (read u,
-read g, write gu) with the pre-activation recomputed in VMEM — measured
-as the 5.8 ms/call `ffn - mm` gap in tools/bench_mixffn_micro.py.
+230 f/s in r2), but the BACKWARD is the fused kernel above, cutting the
+segment's HBM passes from ~10 to 3 with the pre-activation recomputed in
+VMEM. MEASURED A DEAD END as the production default: stage-3 grad micro
+32.98 vs 14.96 ms (tools/bench_mixffn_micro.py, v5e) — the in-kernel
+wrap-masked sublane-shift dwconv costs ~4x what it saves in HBM traffic
+(XLA's backward for this segment already runs at ~HBM bandwidth: the
+5.8 ms `ffn - mm` gap matches a ~12-pass traffic estimate). Kept behind
+``MixFFN(dwconv_impl="bwd_fused")`` / ``EMIP_FFN_DWCONV`` for shapes
+where XLA's dwconv backward might regress.
 """
 
 from __future__ import annotations
