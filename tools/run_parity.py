@@ -113,6 +113,11 @@ def drill_assets(work, with_long=False):
         long_snap = os.path.join(work, "Net_long_best.pth")
         if not os.path.isfile(long_snap):
             long_mod = import_reference("model.EMIP_long.model_long")
+            # Model_long constructs CoUpdater AFTER import_reference pops
+            # the reference path; pre-register its lazy `lib` import (the
+            # short branch does the same — without this the long-only
+            # drill fails when the short snapshot is already cached).
+            import_reference("lib.pvt_v2")
             torch.manual_seed(1)
             print(">>> constructing reference Model_long (full b5)...",
                   flush=True)
