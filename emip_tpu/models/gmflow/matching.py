@@ -41,7 +41,8 @@ def global_correlation_softmax(
     f0 = feature0.reshape(b, h * w, c)
     f1 = feature1.reshape(b, h * w, c)
 
-    # bf16 MXU matmul, fp32 accumulation
+    # bf16 MXU matmul, fp32 accumulation. Still required even on the fused
+    # path: the raw volume is the motion prompt's input downstream.
     corr = jnp.einsum(
         "bic,bjc->bij", f0, f1, preferred_element_type=jnp.float32
     ) / (c**0.5)  # [B, HW, HW]
@@ -49,17 +50,32 @@ def global_correlation_softmax(
     grid = coords_grid(h, w).reshape(h * w, 2)  # [HW, 2]
 
     if use_pallas:
-        from emip_tpu.ops.pallas import softmax_expectation
+        from emip_tpu.ops.pallas import fused_flow_attention, softmax_expectation
+        from emip_tpu.utils.knobs import resolve
 
-        # two kernel calls instead of softmax over a materialized
-        # [2B, HW, HW] concat: the fw pass reads corr directly and the bw
-        # pass reads its transpose — one fewer full-volume HBM round-trip
-        fw = softmax_expectation(corr, grid)
-        if pred_bidir_flow:
-            bw = softmax_expectation(jnp.swapaxes(corr, 1, 2), grid)
-            correspondence = jnp.concatenate([fw, bw], axis=0)
+        if resolve("global_match_qk_fused", 1, "EMIP_GLOBAL_MATCH_QK"):
+            # flash-matching: recompute the QK correlation per row-tile
+            # INSIDE the attention kernel (fused_flow_attention already is
+            # softmax(q k^T / sqrt(C)) @ v). The expectation path then does
+            # zero full-volume HBM traffic — only the prompt's einsum above
+            # materializes corr — and the backward direction is just the
+            # kernel with (f1, f0), so no [B, HW, HW] transpose either.
+            gridb = jnp.broadcast_to(grid[None], (b, h * w, 2))
+            fw = fused_flow_attention(f0, f1, gridb)
+            if pred_bidir_flow:
+                bw = fused_flow_attention(f1, f0, gridb)
+                correspondence = jnp.concatenate([fw, bw], axis=0)
+            else:
+                correspondence = fw
         else:
-            correspondence = fw
+            # read the materialized corr (and its transpose) row-tiled:
+            # ~5 full-volume HBM round-trips vs the prompt's single write
+            fw = softmax_expectation(corr, grid)
+            if pred_bidir_flow:
+                bw = softmax_expectation(jnp.swapaxes(corr, 1, 2), grid)
+                correspondence = jnp.concatenate([fw, bw], axis=0)
+            else:
+                correspondence = fw
         prob = None
     else:
         if pred_bidir_flow:
