@@ -202,7 +202,7 @@ def bench_train_short(extra, bs=8, n=10):
         print(f"# train bs={bs}: {flops / 1e12:.3f} TFLOP -> MFU {mfu:.1f}%")
 
 
-def bench_train_long(extra, bs=4, n=6):
+def bench_train_long(extra, bs=4, n=24):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -236,16 +236,19 @@ def bench_train_long(extra, bs=4, n=6):
         return time.perf_counter() - t0
 
     chain(1)  # compile
-    # median of 3 chain-pairs: a SINGLE pair has a heavy tail over the
-    # tunnel (observed 2.3 / 55.5 / 826.4 ms for the same program across
-    # fresh processes, round-5 reconcile; BENCH_r04's 33.7 vs the
-    # clean-condition 20.7 was the same effect)
+    # median of 5 chain-pairs with a long (n=24) chain: a SINGLE pair has
+    # a heavy tail over the tunnel (observed 2.3 / 55.5 / 826.4 ms for
+    # the same program across fresh processes, round-5 reconcile;
+    # BENCH_r04's 33.7 vs the clean-condition 20.7 was the same effect),
+    # and at n=6 the between-fetch RTT jitter still scattered the
+    # per-step estimate +/-15 ms (round-5 session-2 A/B logs) — the step
+    # itself is only ~21 ms, so divide the jitter by a longer chain
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t1 = chain(2)
         tn = chain(2 + n)
         reps.append((tn - t1) / n)
-    step_s = sorted(reps)[1]
+    step_s = sorted(reps)[2]
     extra["train_long_ms_per_step_bs4"] = round(step_s * 1e3, 1)
     extra["train_long_frames_per_s_bs4"] = round(bs / step_s, 1)
     extra["train_long_ms_reps"] = [round(r * 1e3, 1) for r in reps]

@@ -105,7 +105,16 @@ def test_two_process_dp_step_matches_single(tmp_path):
     got = np.load(out)
     want_loss, want_params = _single_process_step()
 
-    np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=1e-5)
+    # rtol rationale: the cross-process program is compiled with a
+    # different device assignment than the in-process one, and f32
+    # reduction-order noise (~1e-7) in the flows gets amplified through
+    # the unsup flow loss's piecewise-constant warp indexing (floor())
+    # to ~1e-4 of loss — the same discontinuity documented for grad
+    # parity (CLAUDE.md round 3). The strong DP-correctness claim is the
+    # per-parameter check below; rtol=1e-5 here held only while the two
+    # programs happened to compile identically (it broke when the
+    # flash-matching kernel changed compilation, round 5).
+    np.testing.assert_allclose(float(got["loss"]), want_loss, rtol=5e-4)
     keys = [k for k in got.files if k != "loss"]
     assert set(keys) == set(want_params)
     # same tolerance rationale as test_train_step_ddp_equivalence: Adam can

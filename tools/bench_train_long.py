@@ -66,14 +66,17 @@ def main():
         return time.perf_counter() - t0
 
     chain(1)  # compile
-    # median of 3 chain-pairs — a single pair has a heavy tunnel tail
-    # (observed 2.3/55.5/826.4 ms for this very program, round 5)
+    # median of 5 chain-pairs with a long (n=24) chain — a single pair
+    # has a heavy tunnel tail (observed 2.3/55.5/826.4 ms for this very
+    # program, round 5), and short chains leave +/-15 ms of between-fetch
+    # RTT jitter on a ~21 ms step (round-5 session-2; same fix as
+    # bench.py)
     reps = []
-    for _ in range(3):
+    for _ in range(5):
         t1 = chain(2)
-        tn = chain(2 + 6)
-        reps.append((tn - t1) / 6)
-    t = sorted(reps)[1]
+        tn = chain(2 + 24)
+        reps.append((tn - t1) / 24)
+    t = sorted(reps)[2]
     print(f"long train step bs={BS}: {t*1e3:.1f} ms -> "
           f"{BS/t:.1f} frames/s (reps {[round(r*1e3, 1) for r in reps]})")
 
