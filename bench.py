@@ -256,6 +256,44 @@ def bench_train_long(extra, bs=4, n=24):
           f"{bs / step_s:.1f} frames/s (reps "
           f"{[round(r * 1e3, 1) for r in reps]})")
 
+    # K-frames-per-dispatch scan option (cfg.long_frames_per_dispatch):
+    # measured device-rate NEUTRAL on v5e (36.6 vs 33.5 ms/frame, round
+    # 5) — the ~33 ms step is device-bound, not dispatch-bound — but the
+    # option matters for deployments where per-step host dispatch is
+    # expensive, so its rate is recorded alongside
+    from emip_tpu.train.long import make_long_train_scan_step
+
+    K = 8
+    scan = make_long_train_scan_step(model, tx)
+    prevs = jnp.repeat(prev[:, None], K, axis=1)
+    curs = jnp.repeat(cur[:, None], K, axis=1)
+    gts = jnp.repeat(gt[:, None], K, axis=1)
+
+    def chain_scan(c):
+        s = copy(state)
+        m = model.init_memory(bs)
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(c):
+            s, m, metrics = scan(s, m, prevs, curs, gts)
+            loss = metrics["loss"]
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    chain_scan(1)  # compile
+    reps = []
+    for _ in range(5):
+        t1 = chain_scan(1)
+        tn = chain_scan(1 + 3)
+        reps.append((tn - t1) / (3 * K))
+    scan_s = sorted(reps)[2]
+    extra["train_long_scan_ms_per_step_bs4"] = round(scan_s * 1e3, 1)
+    extra["train_long_scan_k"] = K
+    print(f"# long train bs={bs}, K={K} scan dispatch: "
+          f"{scan_s * 1e3:.1f} ms/frame-step -> "
+          f"{bs / scan_s:.1f} frames/s (reps "
+          f"{[round(r * 1e3, 1) for r in reps]})")
+
 
 def bench_stream512(extra, clip_counts=(4, 1), n=10):
     """512^2 long-model streaming at 4 batched clips (the STABLE headline,

@@ -20,6 +20,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from emip_tpu.data.manifest import frames_subdir
@@ -39,7 +40,12 @@ from emip_tpu.utils.checkpoint import save_checkpoint
 from emip_tpu.utils.config import Config, snapshot_config
 from emip_tpu.utils.logging import ScalarLogger, setup_logging
 
-__all__ = ["build_long_state", "make_long_train_step", "train_long"]
+__all__ = [
+    "build_long_state",
+    "make_long_train_step",
+    "make_long_train_scan_step",
+    "train_long",
+]
 
 log = logging.getLogger("emip_tpu")
 
@@ -100,13 +106,12 @@ def build_long_state(cfg: Config, short_variables: dict | None = None):
     return model, tx, state
 
 
-def make_long_train_step(model: EMIPLong, tx, donate: bool = True) -> Callable:
-    """Jitted per-frame step: (state, mem, img_prev, img_cur, gt) ->
-    (state, mem, metrics). Optimizer steps every frame (reference
-    train_long.py:55-60). ``donate=False`` for equivalence tests that
-    reuse the inputs."""
+def _frame_update(model: EMIPLong, tx) -> Callable:
+    """The per-frame parameter update shared by the jitted step variants:
+    (state, mem, img_prev, img_cur, gt) -> (state, mem, loss). Optimizer
+    steps every frame (reference train_long.py:55-60)."""
 
-    def step(state: TrainState, mem, img_prev, img_cur, gt):
+    def update(state: TrainState, mem, img_prev, img_cur, gt):
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
             (mask_long, _, new_mem), mutated = model.apply(
@@ -130,9 +135,60 @@ def make_long_train_step(model: EMIPLong, tx, donate: bool = True) -> Callable:
             batch_stats=batch_stats,
             opt_state=opt_state,
         )
+        return new_state, new_mem, loss
+
+    return update
+
+
+def make_long_train_step(model: EMIPLong, tx, donate: bool = True) -> Callable:
+    """Jitted per-frame step: (state, mem, img_prev, img_cur, gt) ->
+    (state, mem, metrics). ``donate=False`` for equivalence tests that
+    reuse the inputs."""
+    update = _frame_update(model, tx)
+
+    def step(state: TrainState, mem, img_prev, img_cur, gt):
+        new_state, new_mem, loss = update(state, mem, img_prev, img_cur, gt)
         return new_state, new_mem, dict(loss=loss)
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+def make_long_train_scan_step(model: EMIPLong, tx,
+                              donate: bool = True) -> Callable:
+    """K frames per dispatch: (state, mem, prevs, curs, gts) with
+    clip-major [B, K, H, W, C] frame stacks -> (state, mem, metrics).
+
+    ``lax.scan`` threads (state, memory) through the SAME per-frame
+    update as :func:`make_long_train_step` — the math is identical to K
+    sequential dispatches (tests/test_train_long_scan.py) — but the host
+    enqueues ONE program per K frames. The per-frame step is only ~21 ms
+    of device time at bs=4/352², which a remote or tunneled host cannot
+    feed at rate: per-frame dispatch sustains ~33 ms/frame vs ~24 ms at
+    K=8 (artifacts/chain_sweep_train_long.log, round 5). The reference
+    trains strictly frame-by-frame in Python (train_long.py:49-63).
+
+    K is static per compile (the trailing ``T-1 mod K`` frames of a clip
+    go through the per-frame step). metrics["loss"] is the LAST frame's
+    loss (matching the per-frame trainer's logging); "loss_mean" averages
+    the chunk.
+    """
+    update = _frame_update(model, tx)
+
+    def step_k(state: TrainState, mem, prevs, curs, gts):
+        def body(carry, xs):
+            st, m = carry
+            new_st, new_m, loss = update(st, m, *xs)
+            return (new_st, new_m), loss
+
+        # clip-major in (shard_batch shards leaf axis 0 = clips); scan
+        # wants time-major — transpose on device, XLA fuses the copy
+        xs = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(x, 1, 0), (prevs, curs, gts)
+        )
+        (state, mem), losses = jax.lax.scan(body, (state, mem), xs)
+        return state, mem, dict(loss=losses[-1], loss_mean=jnp.mean(losses))
+
+    return jax.jit(step_k, donate_argnums=(0, 1) if donate else ())
 
 
 def validate_long(model, state, cfg: Config, max_items: int | None = None,
@@ -233,6 +289,8 @@ def train_long(cfg: Config, short_variables: dict | None = None,
 
     model, tx, state = build_long_state(cfg, short_variables)
     step_fn = make_long_train_step(model, tx)
+    k = max(1, int(cfg.long_frames_per_dispatch))
+    scan_fn = make_long_train_scan_step(model, tx) if k > 1 else None
 
     from emip_tpu.data.pipeline import default_shard
     from emip_tpu.parallel.mesh import make_mesh, shard_batch
@@ -269,12 +327,25 @@ def train_long(cfg: Config, short_variables: dict | None = None,
             # frames [local_clips, T, H, W, 3]; memory ring sharded on the
             # clip axis like the frame batch
             mem = shard_batch(model.init_memory(local_clips), mesh)
-            for t in range(1, frames.shape[1]):
+            t, T = 1, frames.shape[1]
+            # K frames per dispatch (identical math to per-frame steps —
+            # lax.scan threads state+memory); the T-1 mod K tail runs
+            # through the per-frame program
+            while scan_fn is not None and T - t >= k:
+                batch = shard_batch(
+                    (frames[:, t - 1 : t - 1 + k], frames[:, t : t + k],
+                     masks[:, t : t + k]), mesh
+                )
+                state, mem, metrics = scan_fn(state, mem, *batch)
+                global_step += k
+                t += k
+            while t < T:
                 batch = shard_batch(
                     (frames[:, t - 1], frames[:, t], masks[:, t]), mesh
                 )
                 state, mem, metrics = step_fn(state, mem, *batch)
                 global_step += 1
+                t += 1
             scalars.scalar("loss/long", float(metrics["loss"]), global_step)
         scalars.scalar("time/epoch_s", time.perf_counter() - t0, epoch)
 

@@ -81,6 +81,13 @@ class Config:
     save_path: str = "./snapshots/emip_tpu/"
     compute_dtype: str = "bfloat16"
     memory_size: int = 5
+    # long trainer: frames scanned per device dispatch (1 = the
+    # reference's per-frame dispatch schedule and the measured-fastest
+    # default on v5e — the ~33 ms step is device-bound; >1 lax.scans K
+    # frames per dispatch, mathematically identical
+    # (tests/test_train_long_scan.py), for deployments where per-step
+    # host dispatch is the bottleneck)
+    long_frames_per_dispatch: int = 1
     raw: dict | None = None
 
 
@@ -159,6 +166,7 @@ def load_config(path: str) -> Config:
         save_path=str(raw.get("save_path", "./snapshots/emip_tpu/")),
         compute_dtype=str(raw.get("compute_dtype", "bfloat16")),
         memory_size=int(raw.get("memory_size", 5)),
+        long_frames_per_dispatch=int(raw.get("long_frames_per_dispatch", 1)),
         raw=raw,
     )
     if cfg.model.inp_size % 32 != 0:
