@@ -317,11 +317,21 @@ def bench_stream512(extra, clip_counts=(4, 1), n=10):
                            model.init_memory(1), False)
     )()
 
+    # production streaming path: frame t's frozen encoding rides to
+    # frame t+1 (step_cached) — each frame's backbone runs ONCE
     @jax.jit
-    def step(variables, prev, cur, mem):
-        mask, _, new_mem = model.apply(variables, prev, cur, mem, False)
+    def encode(variables, img):
+        return model.apply(variables, img,
+                           method=lambda m, x: m.encode_frame(x))
+
+    @jax.jit
+    def step(variables, enc_prev, cur, mem):
+        mask, enc_cur, new_mem = model.apply(
+            variables, enc_prev, cur, mem, False,
+            method=lambda m, e, x, s, t: m.step_cached(e, x, s, t),
+        )
         eps = jnp.tanh(jnp.mean(mask)) * 1e-6
-        return cur + eps, new_mem, jnp.mean(mask)
+        return enc_cur, cur + eps, new_mem, jnp.mean(mask)
 
     rng = np.random.default_rng(0)
     for clips in clip_counts:
@@ -330,13 +340,14 @@ def bench_stream512(extra, clip_counts=(4, 1), n=10):
                          jnp.float32)
         f1 = jnp.asarray(rng.standard_normal((clips, size, size, 3)),
                          jnp.float32)
+        enc0 = encode(variables, f0)
 
         def run(k):
-            prev, cur, m = f0, f1, mem
+            enc, cur, m = enc0, f1, mem
             s = None
             for _ in range(k):
-                nxt, m, s = step(variables, prev, cur, m)
-                prev, cur = cur, nxt
+                enc, nxt, m, s = step(variables, enc, cur, m)
+                cur = nxt
             return float(s)
 
         run(2)

@@ -62,6 +62,48 @@ class EMIPLong(nn.Module):
         out = self.short_term.forward_full(image1, image2, train=False)
         return jax.tree_util.tree_map(jax.lax.stop_gradient, out)
 
+    def encode_frame(self, image):
+        """Frozen per-frame short-term encoding (backbone + CNN flow
+        features + camouflage injection). Pure in the frame, so streaming
+        callers cache it: frame t's encoding is reused as frame t+1's
+        "prev" — the reference re-encodes both frames of every pair
+        (model_long.py:80-86), paying the backbone twice per frame."""
+        enc = self.short_term.encode_frame(image, train=False)
+        return jax.tree_util.tree_map(jax.lax.stop_gradient, enc)
+
+    def step_cached(self, enc_prev, image_cur, state: MemoryState,
+                    train: bool = False):
+        """``step`` with the previous frame's encoding supplied.
+
+        Returns (mask_long, enc_cur, new_state); thread ``enc_cur`` back
+        in as the next step's ``enc_prev``. Equivalent math to ``step``
+        (tests/test_long_feature_cache.py) minus the short-term decode,
+        whose mask streaming callers discard anyway."""
+        enc_cur = self.encode_frame(image_cur)
+        s = self.short_term.pair_from_encodings(
+            enc_prev, enc_cur, train=False, with_decode=False
+        )
+        s = jax.tree_util.tree_map(jax.lax.stop_gradient, s)
+
+        k, v = self.ltm.memorize(s["fea_1"][0], s["corr_emb"], train)
+        state_live = state.push(k, v)
+
+        memory = self.ltm.read(state_live, s["fea_2"][0])  # [B,H,W,256]
+        memory = self.long_dr(memory, train)
+
+        fea_new = self.injector1(s["fea_2"][0], memory)
+        z3 = self.dr1(fea_new, train)
+        z4 = self.short_term.dr2(s["fea_2"][1], False)
+        z5 = self.short_term.dr3(s["fea_2"][2], False)
+        z4 = jax.lax.stop_gradient(z4)
+        z5 = jax.lax.stop_gradient(z5)
+        mask_long = self.decoder(z5, z4, z3, train)
+
+        new_state = state.push(
+            jax.lax.stop_gradient(k), jax.lax.stop_gradient(v)
+        )
+        return mask_long, enc_cur, new_state
+
     def step(self, image_prev, image_cur, state: MemoryState,
              train: bool = False):
         """One streaming step: memorize frame t-1, read for frame t, decode.
@@ -109,10 +151,16 @@ class EMIPLong(nn.Module):
         b, t = frames.shape[0], frames.shape[1]
         mask0 = self.short_forward(frames[:, 0], frames[:, 1])["mask"]
 
-        def body(mod, state, pair):
-            prev, cur = pair
-            mask_long, _, new_state = mod.step(prev, cur, state, train)
-            return new_state, mask_long
+        # frame t's encoding rides the scan carry to serve as frame
+        # t+1's prev — each frame is encoded ONCE (the per-frame
+        # backbone is the dominant streaming cost; the reference's loop
+        # encodes every frame twice)
+        def body(mod, carry, cur):
+            state, enc_prev = carry
+            mask_long, enc_cur, new_state = mod.step_cached(
+                enc_prev, cur, state, train
+            )
+            return (new_state, enc_cur), mask_long
 
         scan = nn.scan(
             body,
@@ -121,10 +169,8 @@ class EMIPLong(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        pairs = (
-            jnp.moveaxis(frames[:, :-1], 1, 0),
-            jnp.moveaxis(frames[:, 1:], 1, 0),
-        )
-        _, masks = scan(self, self.init_memory(b, frames.dtype), pairs)
+        enc0 = self.encode_frame(frames[:, 0])
+        carry0 = (self.init_memory(b, frames.dtype), enc0)
+        _, masks = scan(self, carry0, jnp.moveaxis(frames[:, 1:], 1, 0))
         masks = jnp.moveaxis(masks, 0, 1)  # [B, T-1, H, W, 1]
         return jnp.concatenate([mask0[:, None], masks], axis=1)

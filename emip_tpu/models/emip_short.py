@@ -143,6 +143,44 @@ class EMIPShort(nn.Module):
         mask = self.decoder(z5, z4, z3, train)
         return mask, fea_new
 
+    def encode_frame(self, image, train: bool = False):
+        """Everything that depends on ONE frame: backbone stages, CNN flow
+        features, and the camouflage-feeder injection. Pure per-frame (the
+        stages use LayerNorm/InstanceNorm only — no running stats), so in
+        streaming loops frame t's encoding can be cached and reused as
+        frame t+1's "prev" encoding (the reference recomputes it every
+        pair, model_long.py:80-86)."""
+        fea = self.seg_features(image, train)
+        gm = self.flow_features(image)[0]
+        # camouflage feeder: segmentation prompts into the motion stream
+        inj = self.injector(gm, fea[0])
+        return dict(fea=fea, inj=inj)
+
+    def pair_from_encodings(self, enc1, enc2, train: bool = False,
+                            with_decode: bool = True):
+        """The pair-dependent tail: flow engine, correlation embedding,
+        and (optionally) the motion-collector decode of frame 1."""
+        flow_fw, flow_bw, corr = self.gmflow(
+            [enc1["inj"]], [enc2["inj"]], training=train
+        )
+        corr_emb = self.conv_corr(corr, train)
+        mask = fea_new = None
+        if with_decode:
+            mask, fea_new = self.decode(
+                enc1["fea"][0], enc1["fea"][1], enc1["fea"][2], corr_emb,
+                train,
+            )
+        return dict(
+            mask=mask,
+            flow_fw=flow_fw,
+            flow_bw=flow_bw,
+            corr=corr,
+            corr_emb=corr_emb,
+            fea_1=enc1["fea"],
+            fea_2=enc2["fea"],
+            fea_new=fea_new,
+        )
+
     def forward_full(self, image1, image2, train: bool = False):
         """Full two-stream forward; returns a dict of intermediates.
 
@@ -168,32 +206,18 @@ class EMIPShort(nn.Module):
                 jnp.concatenate([image1, image2], axis=0), train)
             fea_1 = tuple(s[:n] for s in stages)
             fea_2 = tuple(s[n:] for s in stages)
+            enc1 = dict(
+                fea=fea_1,
+                inj=self.injector(self.flow_features(image1)[0], fea_1[0]),
+            )
+            enc2 = dict(
+                fea=fea_2,
+                inj=self.injector(self.flow_features(image2)[0], fea_2[0]),
+            )
         else:
-            fea_1 = self.seg_features(image1, train)
-            fea_2 = self.seg_features(image2, train)
-        fea_1_gm = self.flow_features(image1)[0]
-        fea_2_gm = self.flow_features(image2)[0]
-
-        # camouflage feeder: segmentation prompts into the motion stream
-        a = self.injector(fea_1_gm, fea_1[0])
-        b = self.injector(fea_2_gm, fea_2[0])
-
-        flow_fw, flow_bw, corr = self.gmflow([a], [b], training=train)
-
-        corr_emb = self.conv_corr(corr, train)
-        mask, fea_new = self.decode(
-            fea_1[0], fea_1[1], fea_1[2], corr_emb, train
-        )
-        return dict(
-            mask=mask,
-            flow_fw=flow_fw,
-            flow_bw=flow_bw,
-            corr=corr,
-            corr_emb=corr_emb,
-            fea_1=fea_1,
-            fea_2=fea_2,
-            fea_new=fea_new,
-        )
+            enc1 = self.encode_frame(image1, train)
+            enc2 = self.encode_frame(image2, train)
+        return self.pair_from_encodings(enc1, enc2, train)
 
     def __call__(self, image1, image2, train: bool = False):
         out = self.forward_full(image1, image2, train)
